@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full blocked fuzzy match (Algo 3)
+over person tables derived deterministically from sf0.001 testdata.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 (see name_match_latest_spark/driver_queries.py).
 """
 
 from __future__ import annotations
@@ -15,24 +14,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: normalize -> block ->
+    score cascade -> match pairs, deterministically ordered."""
+    from name_match_latest_spark.driver_queries import load_persons
+    from name_match_latest_spark.operators.algos import match_fuzzy, sort_matches
+
+    t1, t2 = load_persons(spark, "/root/testdata/sf0.001")
+    out = match_fuzzy(t1, t2, allow_swap=True)
+    return sort_matches(out).select(
+        "t1_id", "t2_id", "confidence", "case_label", "matched_fields"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from name_match_latest_spark.driver_queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from name_match_latest_spark.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force top-k: exact baseline.  One
+  shuffle (the broadcast of the query set), JVM-side arithmetic via
+  higher-order functions — no UDF, no collect.
+* ``lsh_bucket_topk``  — the scale path: random-hyperplane LSH
+  bucketing (deterministic md5-derived hyperplane signs), candidates
+  restricted to same-bucket pairs; top-k within buckets.  At 10^12
+  rows the brute-force path is O(N·Q); LSH bounds it by bucket sizes
+  exactly like person blocking keys.
+
+All dot products cast elements to double FIRST and fold sequentially
+(``F.aggregate``), so results are bit-comparable with the DuckDB
+oracle's double-precision loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_col", "cosine_topk", "lsh_bucket_assignments", "lsh_bucket_topk"]
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    side streams — this is a map-side join + per-query top-k via
+    window, no corpus self-join.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.withColumn(
+        "cosine", cosine_col(F.col("_cvec"), F.col("_qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5 parity —
+    reproducible across engines and sessions with no RNG state."""
+    import hashlib
+
+    signs = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane_idx}:{d}".encode()).hexdigest()
+        signs.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+    return signs
+
+
+def lsh_bucket_assignments(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-concatenation over ``n_planes``
+    deterministic hyperplanes."""
+    vec = _to_double(F.col(vec_col))
+    bucket_bits = []
+    for p in range(n_planes):
+        plane = F.array([F.lit(s) for s in _hyperplane(dim, p)])
+        proj = _dot(vec, plane)
+        bucket_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.concat(*bucket_bits).alias("bucket")
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates share an LSH bucket.
+    The bucket equi-join replaces the O(N²) cross join; recall is
+    tunable via n_planes (fewer planes -> bigger buckets)."""
+    from pyspark.sql import Window
+
+    b = lsh_bucket_assignments(embeddings, n_planes, dim)
+    e = embeddings.join(b, "vec_id")
+    left = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        "bucket",
+    )
+    right = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cvec"),
+        "bucket",
+    )
+    cand = left.join(right, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cand = cand.withColumn(
+        "cosine", cosine_col(F.col("_cvec"), F.col("_qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,172 @@
+"""Deduplication operators over document tables (training-data pipeline ops).
+
+Beyond the reference's person-matching scope: the operations a
+large-scale training-data pipeline needs over `documents(doc_id,
+text, lang, ...)`.  All hashing is md5-based so results are
+engine-portable (DuckDB oracle uses the identical construction).
+
+* exact_dedup       — hash-groupBy on full text
+* token_jaccard_pairs — token-set Jaccard via shingle explode + equi-join
+  (the scalable near-dup join: |∩| by join-count, |∪| by inclusion-
+  exclusion — no cross join anywhere)
+* minhash_signatures / minhash_lsh_candidates — MinHash + banded LSH:
+  shingle→minhash→band→bucket-join; candidate generation is an
+  equi-join on (band_id, band_hash), never a cross join
+* simhash_fingerprints — 32-bit SimHash from md5 token hashes
+
+Scale notes: every operator here is shuffle-bounded by the token
+explode (O(total tokens)), partitions by doc/band keys, and avoids
+quadratic work except within LSH buckets — the same blocking idea as
+the person matcher.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_df",
+    "exact_dedup",
+    "token_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_fingerprints",
+]
+
+
+def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, tok): DISTINCT lowercase whitespace tokens per doc."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text): canonical (min) doc_id +
+    duplicate count; only groups with >1 member."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def token_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard >= threshold (same lang).
+
+    |A∩B| from a self-equi-join on token; |A∪B| = |A|+|B|-|A∩B|.
+    The join shuffles on the token — frequent tokens are the skew
+    axis; at scale, drop top-percentile document-frequency tokens
+    first (standard trick) or salt.
+    """
+    toks = tokens_df(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    lang = docs.select("doc_id", "lang")
+    t1 = toks.alias("a").join(lang.alias("la"), "doc_id").select(
+        F.col("doc_id").alias("d1"), F.col("tok"), F.col("lang")
+    )
+    t2 = toks.alias("b").join(lang.alias("lb"), "doc_id").select(
+        F.col("doc_id").alias("d2"), F.col("tok"), F.col("lang")
+    )
+    inter = (
+        t1.join(t2, on=["tok", "lang"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_tok").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, h_idx, sig): MinHash over md5(i || ':' || token).
+
+    min() over md5 hex STRINGS — deterministic, total-ordered, and
+    byte-identical across engines (no integer conversion needed).
+    """
+    toks = tokens_df(docs)
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h_idx"),
+        F.col("tok"),
+    ).withColumn(
+        "h", F.md5(F.concat(F.col("h_idx").cast("string"), F.lit(":"), F.col("tok")))
+    )
+    return hashed.groupBy("doc_id", "h_idx").agg(F.min("h").alias("sig"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """Near-dup candidate pairs sharing >=1 LSH band.
+
+    rows_per_band = k // bands; band hash = md5(concat of its sigs in
+    h_idx order).  Candidates come from an equi-join on
+    (band_id, band_hash) — the document count per bucket bounds the
+    quadratic blow-up exactly like a person blocking key.
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, k)
+    band = (
+        sigs.withColumn("band_id", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list(F.concat_ws("|", F.col("h_idx"), F.col("sig")))), ",")
+            ).alias("band_hash")
+        )
+    )
+    b1 = band.select(F.col("doc_id").alias("d1"), "band_id", "band_hash")
+    b2 = band.select(F.col("doc_id").alias("d2"), "band_id", "band_hash")
+    return (
+        b1.join(b2, on=["band_id", "band_hash"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): classic SimHash — per-token md5-derived
+    integer; bit b of the fingerprint is 1 iff the sum over tokens of
+    (+1 if token-bit set else -1) is positive."""
+    toks = tokens_df(docs)
+    hashed = toks.withColumn(
+        "h_int", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    exploded = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h_int"),
+    ).withColumn(
+        "w",
+        F.when(F.expr("(shiftright(h_int, bit) & 1)") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        exploded.groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("s"))
+        .withColumn(
+            "bit_val",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit_val").alias("simhash"))
+    )

@@ -1,0 +1,62 @@
+"""Connected components vs a union-find oracle on adversarial graphs."""
+
+from __future__ import annotations
+
+import random
+
+
+def union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-label per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _spark_cc(spark, edges):
+    from name_match_latest_spark.operators.clustering import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r.node: r.component
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain(spark):
+    # worst case for naive propagation: a long path
+    edges = [(i, i + 1) for i in range(60)]
+    nodes = set(range(61))
+    assert _spark_cc(spark, edges) == union_find_components(edges, nodes)
+
+
+def test_random_graphs(spark):
+    rng = random.Random(1)
+    nodes = list(range(0, 400, 3))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    present = {n for e in edges for n in e}
+    assert _spark_cc(spark, edges) == union_find_components(edges, present)
+
+
+def test_self_loops_and_dups(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 9)]
+    present = {5, 1, 2, 7, 9}
+    assert _spark_cc(spark, edges) == union_find_components(edges, present)
