@@ -1,0 +1,97 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Extra keys (informational): rows per query, pages/sec for the web
+pipeline, mentions/sec for the flagship match.
+
+Scaling-efficiency evidence (north rule) lives in
+scripts/bench_scaling.py which runs the SAME web job at two
+parallelism levels; its results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+
+
+def main() -> None:
+    from name_match_latest_spark.driver_queries import SPARK_QUERIES
+    from name_match_latest_spark.session import get_spark
+
+    spark = get_spark(
+        "nm-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(int(CPUS), 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "algo1",            # deterministic equi-join
+        "algo2",
+        "algo3_full",       # blocked fuzzy + full cascade (with middle)
+        "algo4_full",       # birthdate-blocked fuzzy (no middle)
+        "algo7",            # OR-blocked lev-weighted
+        "cascade_l1",
+        "cascade_l10",
+        "households_opt5",  # window argmax + group agg
+        "entity_clusters",  # connected components
+        "dedup_minhash_lsh",
+        "dedup_token_jaccard",
+        "text_quality",
+        "ann_topk",
+        "agg_pricing",
+        "window_argmax",
+        "events_hourly",
+    ]
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        rows[name] = fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # web pipeline: pages -> mentions -> blocked fuzzy match -> clusters
+    from name_match_latest_spark.plans.web_pipeline import cluster_pages
+    from name_match_latest_spark.sources.web import generate_webpages
+
+    t0 = time.time()
+    pages = generate_webpages(spark, N_PAGES, seed=42, partitions=int(CPUS))
+    n_clustered = cluster_pages(pages).count()
+    web_sec = round(time.time() - t0, 3)
+    timings["web_pipeline"] = web_sec
+    rows["web_pipeline"] = n_clustered
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": rows,
+        "pages_per_sec": round(N_PAGES / web_sec, 1),
+        "mentions_per_sec": round(n_clustered / web_sec, 1),
+        "cpus": int(CPUS),
+        "n_pages": N_PAGES,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

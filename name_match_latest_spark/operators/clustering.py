@@ -26,46 +26,47 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "cluster_matches"]
 
 
-def _canonical_checksum(e: DataFrame) -> int:
-    """Order-insensitive checksum of the canonicalized edge set."""
-    row = (
-        e.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
-        )
-        .collect()[0]
-    )
+def _canonical_checksum(e: DataFrame) -> tuple:
+    """Order-insensitive checksum of an already-canonical edge set."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
     return (row.n, row.h)
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
+    """Both directions, WITHOUT distinct: the only consumer is a
+    min-aggregation + join whose outputs are deduped downstream, and
+    min() is duplicate-insensitive — saves a full shuffle per round."""
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return e.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+    return e.union(rev)
 
 
 def _large_star(e_sym: DataFrame) -> DataFrame:
+    """Connect every node's LARGER neighbors to min(Γ(u) ∪ {u}).
+    Output is canonical: src > dst, distinct."""
     mins = e_sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
-    out = (
+    # NOT deduped: small-star's min-agg is duplicate-insensitive and its
+    # output is distinct — skipping the dedup here saves a shuffle per
+    # round (duplicate growth is bounded by node degree)
+    return (
         e_sym.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
     )
-    return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    d = e.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).distinct()
-    mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+    """Input must be canonical (src > dst, distinct — large-star output).
+    Connects smaller neighbors and self to the per-node minimum.
+    Output is canonical again."""
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
     moved = (
-        d.join(mins, "src")
+        e.join(mins, "src")
         .filter(F.col("dst") != F.col("m"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
@@ -89,17 +90,33 @@ def connected_components(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
-    if e.isEmpty():
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
+    n_edges = e.count()
+    if n_edges == 0:
         return nodes.withColumn("component", F.col("node"))
 
+    # right-size the iteration shuffles: CC rounds are many small jobs;
+    # per-round overhead is proportional to partition count, so width
+    # follows the edge count (~2M edges/partition), not the core count
+    spark = e.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(8, min(2000, n_edges // 2_000_000 + 8))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+
+    # one action per round: lazy localCheckpoint truncates the logical
+    # plan every round (nested star-join plans otherwise grow
+    # geometrically and drown the driver in re-analysis), while the
+    # checksum aggregation doubles as the materializing action
     prev = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(_symmetrize(e))).localCheckpoint()
-        cur = _canonical_checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+    try:
+        for _ in range(max_iter):
+            e = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=False)
+            cur = _canonical_checksum(e)
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # at convergence every edge points node -> component root
     assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -61,8 +61,13 @@ def match_mentions(prepared: DataFrame) -> DataFrame:
 
 
 def cluster_pages(pages: DataFrame) -> DataFrame:
-    """Full pipeline: pages -> (mention id, url, mention_idx, cluster)."""
-    prepared = prepare_mentions(pages)
+    """Full pipeline: pages -> (mention id, url, mention_idx, cluster).
+
+    ``prepared`` is persisted: it feeds the edge join (twice — both
+    sides), the node set, and the final assignment join; without the
+    persist the whole extract+normalize lineage re-executes per use.
+    """
+    prepared = prepare_mentions(pages).persist()
     edges = match_mentions(prepared).select(
         F.col("t1_id").alias("src"), F.col("t2_id").alias("dst")
     )

@@ -112,12 +112,12 @@ def _variant(eid: int, mention_key: str, name: str) -> str:
     return name[:i] + name[i + 1] + name[i] + name[i + 2:]
 
 
-def _page_record(page_id: int, seed: int) -> tuple:
+def _page_record(page_id: int, seed: int, n_entities: int = N_ENTITIES) -> tuple:
     key = f"{seed}:{page_id}"
     # entities are lang/domain-affine (a crawl mentions an entity mostly
     # on its home language and one of two home domains) so blocking keys
     # (soundex, lang, domain) actually co-locate same-entity mentions
-    eid0 = _h(f"{key}:e0") % N_ENTITIES
+    eid0 = _h(f"{key}:e0") % n_entities
     lang = _LANGS[eid0 % len(_LANGS)]
     domain = _DOMAINS[
         (_h(f"e{eid0}dom") + _h(key + "dd") % 2) % len(_DOMAINS)
@@ -130,7 +130,7 @@ def _page_record(page_id: int, seed: int) -> tuple:
     paras = []
     truths = []
     for m in range(n_mentions):
-        eid = _h(f"{key}:e{m}") % N_ENTITIES
+        eid = _h(f"{key}:e{m}") % n_entities
         f, l, bd = _entity(eid)
         # at most ONE field varies per mention — double-typo mentions are
         # (correctly) rejected by the cascade and would only blur the
@@ -155,15 +155,20 @@ def _page_record(page_id: int, seed: int) -> tuple:
 
 
 def generate_webpages(spark: SparkSession, n_pages: int, seed: int = 42,
-                      partitions: int | None = None) -> DataFrame:
+                      partitions: int | None = None,
+                      n_entities: int | None = None) -> DataFrame:
     """Deterministic distributed generation — page content is a pure
-    function of (page_id, seed) so the table is identical at any
-    parallelism (the property the scaling bench relies on)."""
+    function of (page_id, seed, n_entities) so the table is identical
+    at any parallelism (the property the scaling bench relies on).
+    ``n_entities`` defaults to ~n_pages/4 (bounded below by 400) so
+    mentions-per-entity stays realistic as the corpus grows instead of
+    forming ever-denser cliques."""
+    ents = n_entities or max(N_ENTITIES, n_pages // 4)
     base = spark.range(0, n_pages, numPartitions=partitions or max(8, n_pages // 25000))
 
     def gen(batches):
         for pdf in batches:
-            rows = [_page_record(int(i), seed) for i in pdf["id"]]
+            rows = [_page_record(int(i), seed, ents) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang", "true_entities"]
             )
