@@ -1,0 +1,78 @@
+"""Structured Streaming operators.
+
+The reference's "streaming" is keyset-paginated batch with resumability
+(SURVEY §2.9) — that maps to the checkpointed batch driver in
+``plans/checkpoint.py``.  THIS module is the event-time streaming
+surface a Spark-native engine adds on top:
+
+* ``stream_match_against_static`` — an unbounded stream of incoming
+  person records matched against a static (prepared) reference table:
+  a stream-static equi-join on blocking keys + the stateless scoring
+  cascade.  Incremental, append-mode, exactly the reference's
+  flush-every-N incremental sink semantics (csv_export.rs
+  CsvStreamWriter) with Spark checkpointing for free.
+* ``events_windowed_counts`` — watermarked tumbling-window aggregation
+  over an event stream (late data handled by the watermark).
+
+Both are plain transformations on streaming DataFrames: callers choose
+source (``spark.readStream.format(...)``) and sink (``writeStream``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.blocking import prefix_cols
+from ..operators.persons import prepare_persons
+from ..operators.scoring import score_pairs
+
+__all__ = ["stream_match_against_static", "events_windowed_counts"]
+
+
+def stream_match_against_static(
+    stream_persons: DataFrame,
+    static_prepared: DataFrame,
+    no_middle: bool = True,
+) -> DataFrame:
+    """Match a STREAM of raw person records against a static prepared
+    reference table.
+
+    The stream side is prepared per micro-batch (the same projection
+    pipeline — normalization is stateless), joined on the exact
+    birthdate block key, then scored.  Stream-static inner joins are
+    natively supported and stateless; the static side's derived
+    columns are computed once and reused every micro-batch.
+    """
+    prepared_stream = prepare_persons(stream_persons)
+    left = prefix_cols(prepared_stream, "t1_").withColumn(
+        "_bk", F.col("t1_bd_str")
+    )
+    right = prefix_cols(static_prepared, "t2_").withColumn(
+        "_bk", F.col("t2_bd_str")
+    )
+    pairs = left.join(right, "_bk", "inner").drop("_bk")
+    return score_pairs(pairs, no_middle=no_middle)
+
+
+def events_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type over an
+    ``events(ts timestamp, event_type string, value double)`` stream."""
+    # watermarks require TIMESTAMP (with tz); sources often carry NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
