@@ -144,3 +144,55 @@ def classify_no_mid(
 ) -> tuple[float, str] | None:
     """Uncached form — ``fuzzy_compare_names_no_mid`` (``mod.rs:355-416``)."""
     return classify_cached_no_mid(PersonCache(first1, None, last1), PersonCache(first2, None, last2))
+
+
+def explain_pair(
+    first1: str | None, mid1: str | None, last1: str | None, bd1,
+    first2: str | None, mid2: str | None, last2: str | None, bd2,
+    no_middle: bool = False,
+    allow_swap: bool = False,
+) -> dict:
+    """Single-pair explain — the reference's ``explain_pair_fuzzy``
+    (``mod.rs:143-250``, ScoreBreakdown ``:17-29``): birthdate gate,
+    per-metric percentages, case label, confidence (0-100 like the
+    breakdown), swap flag."""
+    from ..operators.dates import birthdate_matches_naive, swap_month_day
+
+    bd_match = None
+    swap_used = False
+    if bd1 is not None and bd2 is not None:
+        bd_match = birthdate_matches_naive(bd1, bd2, allow_swap)
+        swap_used = bd1 != bd2 and bd_match
+    if bd_match is not True:
+        return {
+            "algorithm": "fuzzy-no-middle" if no_middle else "fuzzy",
+            "birthdate_match": bd_match,
+            "birthdate_swap_used": swap_used,
+            "case_label": None,
+            "confidence": None,
+            "levenshtein_pct": None,
+            "jaro_winkler_pct": None,
+            "metaphone_pct": None,
+            "message": "Birthdates do not match for this fuzzy rule.",
+        }
+    c1 = PersonCache(first1, mid1, last1)
+    c2 = PersonCache(first2, mid2, last2)
+    if no_middle:
+        full1, full2 = c1.simple_full_no_mid, c2.simple_full_no_mid
+        dm1, dm2 = c1.dmeta_no_mid, c2.dmeta_no_mid
+        res = classify_cached_no_mid(c1, c2)
+    else:
+        full1, full2 = c1.simple_full, c2.simple_full
+        dm1, dm2 = c1.dmeta_full, c2.dmeta_full
+        res = classify_cached_full(c1, c2)
+    return {
+        "algorithm": "fuzzy-no-middle" if no_middle else "fuzzy",
+        "birthdate_match": True,
+        "birthdate_swap_used": swap_used,
+        "case_label": res[1] if res else None,
+        "confidence": res[0] if res else None,
+        "levenshtein_pct": sim_levenshtein_pct(full1, full2),
+        "jaro_winkler_pct": jaro_winkler(full1, full2) * 100.0,
+        "metaphone_pct": 100.0 if (dm1 and dm2 and dm1 == dm2) else 0.0,
+        "message": None,
+    }

@@ -40,11 +40,17 @@ def sim_lev_pct_col(a: Column, b: Column) -> Column:
     )
 
 
-def score_pairs(pairs: DataFrame, no_middle: bool) -> DataFrame:
+def score_pairs(pairs: DataFrame, no_middle: bool, explain: bool = False) -> DataFrame:
     """Classify candidate pairs; keeps only matches.
 
     Adds ``lev_pct, jw_pct, mp_pct, confidence (0-1), case_label``.
     ``no_middle`` selects the full vs no-mid variant (mod.rs:465-561).
+
+    ``explain=True`` is the distributed twin of the reference's
+    ``explain_pair_fuzzy`` (mod.rs:143-250): every candidate pair is
+    kept (the JVM prefilter is bypassed so jw is computed for all),
+    with NULL case_label/confidence for non-matches — the debug-mode
+    projection of the scoring UDF's intermediate columns.
     """
     if no_middle:
         full1, full2 = F.col("t1_simple_full_no_mid"), F.col("t2_simple_full_no_mid")
@@ -60,13 +66,13 @@ def score_pairs(pairs: DataFrame, no_middle: bool) -> DataFrame:
         F.lit(0.0)
     )
 
-    staged = (
-        pairs.withColumns(
-            {"lev_pct": lev, "mp_pct": mp, "_direct": direct}
+    staged = pairs.withColumns(
+        {"lev_pct": lev, "mp_pct": mp, "_direct": direct}
+    ).filter(non_empty)
+    if not explain:
+        staged = staged.filter(
+            F.col("_direct") | (F.col("lev_pct") >= 85.0) | (F.col("mp_pct") == 100.0)
         )
-        .filter(non_empty)
-        .filter(F.col("_direct") | (F.col("lev_pct") >= 85.0) | (F.col("mp_pct") == 100.0))
-    )
 
     jw = F.when(F.col("_direct"), F.lit(100.0)).otherwise(
         jaro_winkler_udf(full1, full2) * 100.0
@@ -96,10 +102,12 @@ def score_pairs(pairs: DataFrame, no_middle: bool) -> DataFrame:
     )
     score = F.when(F.col("_direct"), F.lit(100.0)).otherwise(avg)
 
-    return (
-        staged.withColumns(
-            {"case_label": label, "confidence": score / 100.0}
-        )
-        .filter(F.col("case_label").isNotNull())
-        .drop("_direct")
+    out = staged.withColumns(
+        {
+            "case_label": label,
+            "confidence": F.when(label.isNotNull(), score / 100.0),
+        }
     )
+    if not explain:
+        out = out.filter(F.col("case_label").isNotNull())
+    return out.drop("_direct")
