@@ -905,3 +905,15 @@ def _ann_lsh(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return lsh_bucket_topk(spark.table("embeddings"), k=5, n_planes=4)
+
+
+@q("web_cluster_pages")
+def _web_cluster_pages(spark, sf_dir):
+    """North-rule pipeline end-to-end on a deterministic synthetic
+    crawl (pages -> extract -> block -> score -> cluster).  Iterative
+    clustering is not SQL-expressible -> rows-only check."""
+    from .plans.web_pipeline import cluster_pages
+    from .sources.web import generate_webpages
+
+    pages = generate_webpages(spark, 2000, seed=42, partitions=8)
+    return cluster_pages(pages).orderBy("id")
