@@ -20,7 +20,8 @@ from .functions.similarity import jaro_winkler, sim_levenshtein_pct
 from .operators.dates import birthdate_keys, birthdate_matches_naive, swap_month_day
 
 __all__ = ["Person", "generate_persons", "oracle_algo1", "oracle_algo2",
-           "oracle_fuzzy", "oracle_fuzzy_no_mid", "oracle_lev_weighted"]
+           "oracle_fuzzy", "oracle_fuzzy_no_mid", "oracle_lev_weighted",
+           "oracle_households", "oracle_cascade"]
 
 PREFILTER = 84.0  # FUZZY_PREFILTER_KEEP_THRESHOLD (mod.rs:65)
 
@@ -224,6 +225,173 @@ def oracle_lev_weighted(
                 fields.append("LastName")
             fields.append("Birthdate")
             out.append((a.id, b.id, conf, tuple(fields)))
+    return out
+
+
+def oracle_households(
+    t1: list[Person],
+    t2: list[Person],
+    min_conf: float,
+    option: int = 5,
+    allow_swap: bool = False,
+) -> list[tuple[int, str, int, float]]:
+    """match_households_gpu_inmemory[_opt6] (mod.rs:591-835, :840-1092):
+    FuzzyNoMiddle pairs -> best-1 assignment with the reference's
+    arrival-order tie semantics -> group -> pct > 50 -> sorted rows
+    (row_id, uuid, hh_id, match_percentage)."""
+    pairs = oracle_fuzzy_no_mid(t1, t2, allow_swap)
+    p1 = {p.id: p for p in t1}
+    p2 = {p.id: p for p in t2}
+
+    best: dict[int, list] = {}  # person -> [group_key, other_key, conf, tie]
+    for a_id, b_id, conf, _label in pairs:
+        if conf < min_conf:
+            continue
+        uuid = p1[a_id].uuid
+        if uuid is None:
+            continue
+        hh = p2[b_id].hh_id if p2[b_id].hh_id is not None else str(b_id)
+        if option == 5:
+            key, grp, other = a_id, hh, uuid  # best hh per t1 person
+        else:
+            key, grp, other = b_id, uuid, hh  # best uuid per t2 person
+        cur = best.get(key)
+        if cur is None:
+            best[key] = [grp, other, conf, False]
+        else:
+            if conf > cur[2]:
+                best[key] = [grp, other, conf, False]
+            elif conf == cur[2]:
+                if grp < cur[0]:
+                    best[key] = [grp, other, conf, False]
+                elif grp != cur[0]:
+                    cur[3] = True
+
+    matched: dict[tuple[str, str], set[int]] = {}
+    for key, (grp, other, _conf, tie) in best.items():
+        if tie:
+            continue
+        if option == 5:
+            matched.setdefault((other, grp), set()).add(key)  # (uuid, hh)
+        else:
+            matched.setdefault((other, grp), set()).add(key)  # (hh_key, uuid)
+
+    if option == 5:
+        totals: dict[str, int] = {}
+        for p in t1:
+            if p.uuid is not None:
+                totals[p.uuid] = totals.get(p.uuid, 0) + 1
+    else:
+        totals = {}
+        for p in t2:
+            k = p.hh_id if p.hh_id is not None else str(p.id)
+            totals[k] = totals.get(k, 0) + 1
+    # BTreeMap iteration order: (uuid, hh) for opt5, (hh_key, uuid) for opt6
+    iter_keys = sorted(matched)
+
+    out = []
+    row_id = 1
+    for k in iter_keys:
+        if option == 5:
+            uuid, hh = k
+        else:
+            hh, uuid = k
+        total = totals.get(hh if option == 6 else uuid, 0)
+        if total <= 0:
+            continue
+        pct = len(matched[k]) / total * 100.0
+        if pct > 50.0:
+            try:
+                hh_num = int(hh)
+            except ValueError:
+                hh_num = 0
+            out.append((row_id, uuid, hh_num, pct))
+            row_id += 1
+    out.sort(key=lambda r: (r[1], r[2]))
+    return out
+
+
+def oracle_cascade(
+    t1: list[Person],
+    t2: list[Person],
+    levels: list[int],
+    threshold: float = 0.95,
+    allow_swap: bool = False,
+    exclusive: bool = True,
+) -> dict[int, list[tuple[int, int]]]:
+    """run_cascade_inmemory (cascade.rs:622-903): per-level exact-key /
+    fuzzy matching with exclusive-mode id subtraction between levels."""
+    from .functions.normalize import is_full_middle, middle_initials, normalize_text
+
+    def exact_key(p: Person, level: int) -> str | None:
+        f, m, l = p.normalized()
+        if f is None or l is None:
+            return None
+        bd = p.birthdate.isoformat() if p.birthdate else None
+        brgy = normalize_text(p.barangay_code) if p.barangay_code else None
+        city = normalize_text(p.city_code) if p.city_code else None
+        mfull = m if (m is not None and is_full_middle(m)) else None
+        mi = middle_initials(m) if m is not None else None
+        spec = {
+            1: (mfull, bd), 2: (mi, bd), 3: (None, bd),
+            4: (mfull, brgy), 5: (mi, brgy), 6: (None, brgy),
+            7: (mfull, city), 8: (mi, city), 9: (None, city),
+        }[level]
+        mid_part, tail = spec
+        if tail is None:
+            return None
+        if level in (1, 2, 4, 5, 7, 8):
+            if mid_part is None:
+                return None
+            return f"{f}|{l}|{mid_part}|{tail}"
+        return f"{f}|{l}|{tail}"
+
+    rem1, rem2 = list(t1), list(t2)
+    out: dict[int, list[tuple[int, int]]] = {}
+    for level in levels:
+        matches: list[tuple[int, int]] = []
+        if level in (10, 11):
+            swap = allow_swap if level == 10 else False
+            c1 = {p.id: PersonCache(p.first_name, p.middle_name, p.last_name) for p in rem1}
+            c2 = {p.id: PersonCache(p.first_name, p.middle_name, p.last_name) for p in rem2}
+            for a in rem1:
+                if a.birthdate is None:
+                    continue
+                if level == 10 and not is_full_middle((a.middle_name or "").strip()):
+                    continue
+                for b in rem2:
+                    if b.birthdate is None:
+                        continue
+                    if level == 10 and not is_full_middle((b.middle_name or "").strip()):
+                        continue
+                    if not birthdate_matches_naive(a.birthdate, b.birthdate, swap):
+                        continue
+                    res = (
+                        classify_cached_full(c1[a.id], c2[b.id])
+                        if level == 10
+                        else classify_cached_no_mid(c1[a.id], c2[b.id])
+                    )
+                    if res is None or res[0] / 100.0 < threshold:
+                        continue
+                    matches.append((a.id, b.id))
+        else:
+            idx: dict[str, list[int]] = {}
+            for b in rem2:
+                k = exact_key(b, level)
+                if k is not None:
+                    idx.setdefault(k, []).append(b.id)
+            for a in rem1:
+                k = exact_key(a, level)
+                if k is not None:
+                    for b_id in idx.get(k, []):
+                        matches.append((a.id, b_id))
+        matches.sort()
+        out[level] = matches
+        if exclusive and matches:
+            m1 = {a for a, _ in matches}
+            m2 = {b for _, b in matches}
+            rem1 = [p for p in rem1 if p.id not in m1]
+            rem2 = [p for p in rem2 if p.id not in m2]
     return out
 
 
