@@ -566,10 +566,17 @@ def _dedup_token_jaccard(spark, sf_dir):
 @q(
     "dedup_minhash_lsh",
     """
-WITH tok AS (
-  SELECT d.doc_id, unnest(list_distinct(string_split_regex(lower(d.text), '\\s+'))) AS tok
+WITH toks AS (
+  SELECT d.doc_id,
+         list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '') tl
   FROM documents d),
-tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tl) - 2, 0) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 2), ' ')))) AS tok
+  FROM toks),
+tok2 AS (SELECT * FROM tok),
 hashed AS (
   SELECT doc_id, i.h_idx, md5(concat(cast(i.h_idx AS STRING), ':', tok)) h
   FROM tok2, (SELECT unnest(range(8)) h_idx) i),

@@ -48,6 +48,24 @@ def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def shingles_df(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tok): DISTINCT n-token shingles per doc — the
+    discriminative unit for MinHash (unigrams collide on any shared
+    vocabulary; shingles encode local word order)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("tok")
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text): canonical (min) doc_id +
     duplicate count; only groups with >1 member."""
@@ -98,13 +116,13 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
-    """(doc_id, h_idx, sig): MinHash over md5(i || ':' || token).
+def minhash_signatures(docs: DataFrame, k: int = 8, shingle: int = 3) -> DataFrame:
+    """(doc_id, h_idx, sig): MinHash over md5(i || ':' || shingle).
 
     min() over md5 hex STRINGS — deterministic, total-ordered, and
     byte-identical across engines (no integer conversion needed).
     """
-    toks = tokens_df(docs)
+    toks = shingles_df(docs, n=shingle) if shingle > 1 else tokens_df(docs)
     hashed = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h_idx"),
@@ -115,7 +133,9 @@ def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
     return hashed.groupBy("doc_id", "h_idx").agg(F.min("h").alias("sig"))
 
 
-def minhash_lsh_candidates(docs: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = 8, bands: int = 4, shingle: int = 3
+) -> DataFrame:
     """Near-dup candidate pairs sharing >=1 LSH band.
 
     rows_per_band = k // bands; band hash = md5(concat of its sigs in
@@ -124,7 +144,7 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 8, bands: int = 4) -> DataF
     quadratic blow-up exactly like a person blocking key.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, k)
+    sigs = minhash_signatures(docs, k, shingle=shingle)
     band = (
         sigs.withColumn("band_id", (F.col("h_idx") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band_id")
