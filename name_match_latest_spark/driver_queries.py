@@ -914,6 +914,26 @@ def _ann_lsh(spark, sf_dir):
     return lsh_bucket_topk(spark.table("embeddings"), k=5, n_planes=4)
 
 
+@q("cascade_run_exclusive")
+def _cascade_run_exclusive(spark, sf_dir):
+    """Full exclusive cascade L1/L2/L3/L10/L11 with per-level tags —
+    the driver-loop orchestration (cascade.rs:622-903).  Exclusion
+    makes levels order-dependent on fuzzy scores -> rows-only."""
+    from .operators.cascade import CascadeConfig, run_cascade
+
+    t1, t2 = load_persons(spark, sf_dir)
+    results = run_cascade(
+        t1, t2, CascadeConfig(levels=[1, 2, 3, 10, 11], threshold=0.8)
+    )
+    out = None
+    for lr in results:
+        lvl = lr.matches.select(
+            "t1_id", "t2_id", F.lit(lr.level).alias("level")
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
 @q("web_cluster_pages")
 def _web_cluster_pages(spark, sf_dir):
     """North-rule pipeline end-to-end on a deterministic synthetic
