@@ -36,6 +36,7 @@ __all__ = [
     "match_algo2",
     "match_fuzzy",
     "match_fuzzy_no_mid",
+    "match_fuzzy_no_mid_blocked",
     "match_lev_weighted",
     "sort_matches",
 ]
@@ -190,6 +191,32 @@ def match_fuzzy_no_mid(t1: DataFrame, t2: DataFrame, allow_swap: bool = False) -
         lambda p: [F.col(f"{p}_bd_key")],
         lambda p: [F.col(f"{p}bd_str")],
     ).drop("t1__bd_key")
+    scored = score_pairs(pairs, no_middle=True)
+    return scored.withColumn(
+        "matched_fields",
+        F.array(F.lit("fuzzy"), F.col("case_label"), F.lit("birthdate")),
+    )
+
+
+def match_fuzzy_no_mid_blocked(
+    t1: DataFrame, t2: DataFrame, allow_swap: bool = False
+) -> DataFrame:
+    """Algo 4 ALTERNATE blocking: the Algo-3-style
+    (year, initials, soundex) blocks applied to the no-middle variant
+    (``match_fuzzy_no_mid_blocked_cpu`` mod.rs:2603-2745).  Present for
+    parity completeness; the reference's default CPU route is the
+    birthdate-blocked ``match_fuzzy_no_mid`` (routing mod.rs:1731-1742)
+    and so is ours."""
+    t1 = _require(t1, "first_n", "last_n", "birthdate")
+    t2 = _require(t2, "first_n", "last_n", "birthdate")
+
+    def primary(p):
+        return [algo3_block_key(p)]
+
+    pairs = pair_join(t1, t2, primary)
+    pairs = pairs.filter(
+        bd_match_cond(F.col("t1_birthdate"), F.col("t2_birthdate"), allow_swap)
+    )
     scored = score_pairs(pairs, no_middle=True)
     return scored.withColumn(
         "matched_fields",
