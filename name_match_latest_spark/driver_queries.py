@@ -914,6 +914,26 @@ def _ann_lsh(spark, sf_dir):
     return lsh_bucket_topk(spark.table("embeddings"), k=5, n_planes=4)
 
 
+@q("households_opt6")
+def _households_opt6(spark, sf_dir):
+    """Opt6 role-swapped household aggregation over FuzzyNoMiddle pairs
+    (tie arrival order is nondeterministic in the reference — HashMap
+    iteration — so this is rows-only; semantics are pytest-verified
+    against the arrival-order-faithful oracle)."""
+    from .operators.algos import match_fuzzy_no_mid
+    from .operators.households import household_aggregate
+
+    t1, t2 = load_persons(spark, sf_dir)
+    pairs = match_fuzzy_no_mid(t1, t2, allow_swap=False)
+    out = household_aggregate(pairs, t1, t2, min_conf=0.8, option=6)
+    return out.select(
+        F.col("row_id").cast("long").alias("row_id"),
+        "uuid",
+        "hh_id",
+        (F.floor(F.col("match_percentage") * 1e6) / 1e6).alias("match_percentage"),
+    )
+
+
 @q("cascade_run_exclusive")
 def _cascade_run_exclusive(spark, sf_dir):
     """Full exclusive cascade L1/L2/L3/L10/L11 with per-level tags —

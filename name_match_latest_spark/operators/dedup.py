@@ -79,15 +79,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def token_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def token_jaccard_pairs(
+    docs: DataFrame, threshold: float, max_df: float | None = None
+) -> DataFrame:
     """Near-dup pairs by token-set Jaccard >= threshold (same lang).
 
     |A∩B| from a self-equi-join on token; |A∪B| = |A|+|B|-|A∩B|.
     The join shuffles on the token — frequent tokens are the skew
-    axis; at scale, drop top-percentile document-frequency tokens
-    first (standard trick) or salt.
+    axis.  ``max_df`` (0-1) drops tokens whose document frequency
+    exceeds that fraction BEFORE the join (the standard stop-token
+    trick; changes Jaccard values — the exact-oracle query runs with
+    max_df=None).
     """
     toks = tokens_df(docs)
+    if max_df is not None:
+        n_docs = docs.count()
+        frequent = (
+            toks.groupBy("tok")
+            .count()
+            .filter(F.col("count") > max_df * n_docs)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(frequent), "tok", "left_anti")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     lang = docs.select("doc_id", "lang")
     t1 = toks.alias("a").join(lang.alias("la"), "doc_id").select(
