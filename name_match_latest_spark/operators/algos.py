@@ -73,16 +73,24 @@ def _bd_equi_join(t1: DataFrame, t2: DataFrame, extra_t1_keys, extra_t2_keys, al
     return pair_join(t1, t2e, k1, k2).drop("t2__bd_key")
 
 
-def match_algo1(t1: DataFrame, t2: DataFrame, allow_swap: bool = False) -> DataFrame:
+def match_algo1(
+    t1: DataFrame, t2: DataFrame, allow_swap: bool = False,
+    direct_norm_fuzzy: bool = False,
+) -> DataFrame:
     """Algo 1 (IdUuidYasIsMatchedInfnbd): exact normalized last+first+
     birthdate (key_for mod.rs:5970-5987; predicate matches_algo1
     :2148-2178).  Missing first/last/birthdate on either side -> no
-    match (mod.rs:5640 test)."""
+    match (mod.rs:5640 test).  ``direct_norm_fuzzy`` is the
+    NAME_MATCHER_DIRECT_FUZZY_NORMALIZATION toggle (mod.rs:2140-2146):
+    keys additionally normalize_simple'd (dots dropped, dashes->space)."""
+    from .persons import simple_col
+
     t1 = _require(t1, "first_n", "last_n", "birthdate")
     t2 = _require(t2, "first_n", "last_n", "birthdate")
+    wrap = simple_col if direct_norm_fuzzy else (lambda c: c)
 
     def keys(p):
-        return [F.col(f"{p}last_n"), F.col(f"{p}first_n")]
+        return [wrap(F.col(f"{p}last_n")), wrap(F.col(f"{p}first_n"))]
 
     pairs = _bd_equi_join(t1, t2, keys, keys, allow_swap)
     return pairs.withColumns(
@@ -96,18 +104,24 @@ def match_algo1(t1: DataFrame, t2: DataFrame, allow_swap: bool = False) -> DataF
     )
 
 
-def match_algo2(t1: DataFrame, t2: DataFrame, allow_swap: bool = False) -> DataFrame:
+def match_algo2(
+    t1: DataFrame, t2: DataFrame, allow_swap: bool = False,
+    direct_norm_fuzzy: bool = False,
+) -> DataFrame:
     """Algo 2: Algo 1 + middle name; None==None matches, Some vs None
     fails (matches_algo2 mod.rs:2179-2223) — encoded with a NULL
     marker distinct from the empty string."""
+    from .persons import simple_col
+
     t1 = _require(t1, "first_n", "last_n", "birthdate")
     t2 = _require(t2, "first_n", "last_n", "birthdate")
+    wrap = simple_col if direct_norm_fuzzy else (lambda c: c)
 
     def keys(p):
         return [
-            F.col(f"{p}last_n"),
-            F.col(f"{p}first_n"),
-            F.coalesce(F.col(f"{p}middle_n"), F.lit(_NULL_MARKER)),
+            wrap(F.col(f"{p}last_n")),
+            wrap(F.col(f"{p}first_n")),
+            F.coalesce(wrap(F.col(f"{p}middle_n")), F.lit(_NULL_MARKER)),
         ]
 
     pairs = _bd_equi_join(t1, t2, keys, keys, allow_swap)

@@ -27,7 +27,11 @@ from ..operators.blocking import prefix_cols
 from ..operators.persons import prepare_persons
 from ..operators.scoring import score_pairs
 
-__all__ = ["stream_match_against_static", "events_windowed_counts"]
+__all__ = [
+    "stream_match_against_static",
+    "events_windowed_counts",
+    "stateful_entity_counts",
+]
 
 
 def stream_match_against_static(
@@ -53,6 +57,63 @@ def stream_match_against_static(
     )
     pairs = left.join(right, "_bk", "inner").drop("_bk")
     return score_pairs(pairs, no_middle=no_middle)
+
+
+def stateful_entity_counts(mentions) :
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running mention counts per entity key (last_n, bd_str) across
+    micro-batches — the kind of continuously-updated entity statistics
+    a streaming linkage pipeline maintains (new-mention counts per
+    entity, for drift/alerting).
+
+    State per key: total count.  Emits one row per key per batch with
+    the updated running total.  Input: a STREAMING DataFrame with
+    columns last_n, bd_str (e.g. prepared mentions).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("last_n", StringType()),
+            StructField("bd_str", StringType()),
+            StructField("total_mentions", LongType()),
+            StructField("batch_mentions", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("total", LongType())])
+
+    def update(key, pdf_iter, state):
+        batch = 0
+        for pdf in pdf_iter:
+            batch += len(pdf)
+        total = (state.get[0] if state.exists else 0) + batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "last_n": [key[0]],
+                "bd_str": [key[1]],
+                "total_mentions": [total],
+                "batch_mentions": [batch],
+            }
+        )
+
+    return (
+        mentions.groupBy("last_n", "bd_str")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def events_windowed_counts(

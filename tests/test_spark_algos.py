@@ -101,3 +101,20 @@ def test_algo7(spark, fixture):
         assert got[k][1] == fields, k
         assert got[k][0] == pytest.approx(conf, abs=1e-12), k
     assert len(want) > 0
+
+
+def test_direct_norm_fuzzy_toggle(spark):
+    """NAME_MATCHER_DIRECT_FUZZY_NORMALIZATION (mod.rs:2140-2177):
+    with the toggle, keys are additionally normalize_simple'd so
+    'J.ose'/'Jose' and 'Dela-Cruz'/'Dela Cruz' become key-equal."""
+    from datetime import date
+
+    from name_match_latest_spark.operators.algos import match_algo1
+    from name_match_latest_spark.oracle import Person
+    from tests.conftest import persons_df
+
+    t1 = [Person(id=1, first_name="J.ose", last_name="Dela-Cruz", birthdate=date(1990, 1, 1))]
+    t2 = [Person(id=2, first_name="Jose", last_name="Dela Cruz", birthdate=date(1990, 1, 1))]
+    d1, d2 = persons_df(spark, t1), persons_df(spark, t2)
+    assert match_algo1(d1, d2).count() == 0
+    assert match_algo1(d1, d2, direct_norm_fuzzy=True).count() == 1

@@ -107,3 +107,56 @@ def test_events_windowed_counts_matches_batch(spark, tmp_path):
         max_start = max(s for s, _ in want)
         assert all(s >= max_start or True for s, _ in missing)
         assert len(missing) < len(want)
+
+
+def test_stateful_entity_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState: running totals survive across
+    micro-batches (two files processed as two batches)."""
+    import time
+
+    from name_match_latest_spark.streaming.stream_match import stateful_entity_counts
+
+    src = tmp_path / "mentions"
+    src.mkdir()
+    schema = "last_n string, bd_str string"
+    b1 = spark.createDataFrame(
+        [("santos", "1990-01-01"), ("santos", "1990-01-01"), ("cruz", "1980-02-02")],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    out = stateful_entity_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("entity_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.sql("select * from entity_counts").collect()
+            if any(r.last_n == "santos" and r.total_mentions == 2 for r in rows):
+                break
+            time.sleep(1)
+        # second batch arrives later
+        b2 = spark.createDataFrame([("santos", "1990-01-01")], schema)
+        b2.coalesce(1).write.parquet(str(src / "b2"))
+        while time.time() < deadline:
+            rows = spark.sql("select * from entity_counts").collect()
+            if any(r.last_n == "santos" and r.total_mentions == 3 for r in rows):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    totals = {}
+    for r in spark.sql("select * from entity_counts").collect():
+        totals[(r.last_n, r.bd_str)] = max(
+            totals.get((r.last_n, r.bd_str), 0), r.total_mentions
+        )
+    assert totals[("santos", "1990-01-01")] == 3  # state carried across batches
+    assert totals[("cruz", "1980-02-02")] == 1
