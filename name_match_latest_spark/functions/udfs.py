@@ -24,7 +24,13 @@ from .normalize import normalize_text
 from .phonetics import dmeta_code_from_simple
 from .similarity import jaro_winkler
 
-__all__ = ["normalize_text_udf", "dmeta_udf", "jaro_winkler_udf"]
+__all__ = [
+    "normalize_text_udf",
+    "dmeta_udf",
+    "dmeta_full_udf",
+    "dmeta_no_mid_udf",
+    "jaro_winkler_udf",
+]
 
 
 @pandas_udf(StringType())
@@ -48,6 +54,43 @@ def dmeta_udf(simple: pd.Series) -> pd.Series:
         return hit
 
     return s_map(simple, code)
+
+
+def _dmeta_from_names(parts: tuple) -> str:
+    from .normalize import simple_full_name, simple_full_name_no_mid
+
+    if len(parts) == 3:
+        simple = simple_full_name(parts[0], parts[1], parts[2])
+    else:
+        simple = simple_full_name_no_mid(parts[0], parts[1])
+    return dmeta_code_from_simple(simple)
+
+
+@pandas_udf(StringType())
+def dmeta_full_udf(first: pd.Series, mid: pd.Series, last: pd.Series) -> pd.Series:
+    """dmeta(simple_full_name(first, mid, last)) straight from the raw
+    name columns — lets ALL per-person UDFs live in one projection
+    (single ArrowEval node, one Arrow round trip per batch)."""
+    cache: dict[tuple, str] = {}
+    out = []
+    for t in zip(first, mid, last):
+        v = cache.get(t)
+        if v is None:
+            v = cache[t] = _dmeta_from_names(t)
+        out.append(v)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(StringType())
+def dmeta_no_mid_udf(first: pd.Series, last: pd.Series) -> pd.Series:
+    cache: dict[tuple, str] = {}
+    out = []
+    for t in zip(first, last):
+        v = cache.get(t)
+        if v is None:
+            v = cache[t] = _dmeta_from_names(t)
+        out.append(v)
+    return pd.Series(out, dtype="object")
 
 
 @pandas_udf(DoubleType())

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.udfs import dmeta_udf, normalize_text_udf
+from ..functions.udfs import dmeta_full_udf, dmeta_no_mid_udf, normalize_text_udf
 
 __all__ = [
     "PERSON_SCHEMA",
@@ -145,6 +145,9 @@ def prepare_persons(df: DataFrame) -> DataFrame:
     simple_full = simple_col(_full_name_raw(first, mid, last))
     simple_full_no_mid = simple_col(_full_name_raw(first, None, last))
 
+    # ONE projection: all five pandas UDFs sit in the same layer so
+    # Catalyst fuses them into a single ArrowEval node (one Arrow
+    # round trip per batch); dmeta consumes the RAW names directly
     out = df.withColumns(
         {
             "first_n": first_n,
@@ -155,18 +158,16 @@ def prepare_persons(df: DataFrame) -> DataFrame:
             "simple_last": simple_col(F.coalesce(last, F.lit(""))),
             "simple_full": simple_full,
             "simple_full_no_mid": simple_full_no_mid,
-        }
-    )
-    # second projection so dmeta reads the materialized simple_* cols
-    out = out.withColumns(
-        {
-            "dmeta_full": dmeta_udf(F.col("simple_full")),
-            "dmeta_no_mid": dmeta_udf(F.col("simple_full_no_mid")),
-            "first_init": _block_initial(F.col("first_n")),
-            "last_init": _block_initial(F.col("last_n")),
-            "sx_last_n": soundex4_col(F.coalesce(F.col("last_n"), F.lit(""))),
+            "dmeta_full": dmeta_full_udf(first, mid, last),
+            "dmeta_no_mid": dmeta_no_mid_udf(first, last),
             "birth_year": F.year("birthdate"),
             "bd_str": F.date_format("birthdate", "yyyy-MM-dd"),
         }
     )
-    return out
+    return out.withColumns(
+        {
+            "first_init": _block_initial(F.col("first_n")),
+            "last_init": _block_initial(F.col("last_n")),
+            "sx_last_n": soundex4_col(F.coalesce(F.col("last_n"), F.lit(""))),
+        }
+    )

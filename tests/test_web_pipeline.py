@@ -210,3 +210,21 @@ class TestResume:
         log.commit(0, n=1)
         assert AuditLog(str(tmp_path / "a"), "sig1").committed_groups() == {0}
         assert AuditLog(str(tmp_path / "a"), "sig2").committed_groups() == set()
+
+
+def test_resumable_equals_direct_clustering(spark, pages, tmp_path):
+    """Group-partitioned resumable execution must produce the same
+    clusters as the direct pipeline (groups are disjoint by block key,
+    so the union of group edges == the full edge set)."""
+    from name_match_latest_spark.plans.web_pipeline import cluster_pages, run_resumable
+
+    direct = {
+        (r.url, r.mention_idx): r.cluster_id
+        for r in cluster_pages(pages).collect()
+    }
+    m = run_resumable(spark, pages, str(tmp_path / "rr"), n_groups=5)
+    grouped = {
+        (r.url, r.mention_idx): r.cluster_id
+        for r in spark.read.parquet(m["clusters_path"]).collect()
+    }
+    assert direct == grouped
