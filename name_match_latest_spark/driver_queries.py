@@ -954,6 +954,38 @@ def _cascade_run_exclusive(spark, sf_dir):
     return out
 
 
+@q(
+    "embedding_near_dups",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+SELECT a.vec_id d1, b.vec_id d2,
+       {_f6('list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5
+""",
+)
+def _embedding_near_dups(spark, sf_dir):
+    from .operators.annsearch import embedding_near_dups
+
+    register_views(spark, sf_dir)
+    out = embedding_near_dups(
+        spark.table("embeddings"), threshold=0.5, approximate=False
+    )
+    return out.select(
+        "d1", "d2", (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine")
+    )
+
+
+@q("embedding_near_dups_lsh")
+def _embedding_near_dups_lsh(spark, sf_dir):
+    """LSH-bucketed approximate variant (recall < 1 by design) —
+    rows-only."""
+    from .operators.annsearch import embedding_near_dups
+
+    register_views(spark, sf_dir)
+    return embedding_near_dups(spark.table("embeddings"), threshold=0.5)
+
+
 @q("web_cluster_pages")
 def _web_cluster_pages(spark, sf_dir):
     """North-rule pipeline end-to-end on a deterministic synthetic

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_col", "cosine_topk", "lsh_bucket_assignments", "lsh_bucket_topk"]
+__all__ = [
+    "cosine_col",
+    "cosine_topk",
+    "embedding_near_dups",
+    "lsh_bucket_assignments",
+    "lsh_bucket_topk",
+]
 
 
 def _to_double(arr: Column) -> Column:
@@ -107,6 +113,42 @@ def lsh_bucket_assignments(
         bucket_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return embeddings.select(
         F.col(id_col).alias("vec_id"), F.concat(*bucket_bits).alias("bucket")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float,
+    approximate: bool = True,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine >=
+    threshold).
+
+    approximate=True (the scale path): candidates restricted to
+    same-LSH-bucket pairs — linear in bucket sizes.  approximate=False:
+    exhaustive pair join (quadratic; baseline/oracle use only)."""
+    left = embeddings.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("_v1")
+    )
+    right = embeddings.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("_v2")
+    )
+    if approximate:
+        b = lsh_bucket_assignments(embeddings, n_planes, dim, id_col, vec_col)
+        left = left.join(b.withColumnRenamed("vec_id", "d1"), "d1")
+        right = right.join(b.withColumnRenamed("vec_id", "d2"), "d2")
+        cand = left.join(right, "bucket").drop("bucket")
+    else:
+        cand = left.crossJoin(right)
+    cand = cand.filter(F.col("d1") < F.col("d2"))
+    return (
+        cand.withColumn("cosine", cosine_col(F.col("_v1"), F.col("_v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", "cosine")
     )
 
 
