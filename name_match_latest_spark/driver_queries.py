@@ -13,6 +13,7 @@ rounding-mode-free, unlike round()).  All hashing is md5 (portable).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,6 +141,106 @@ def _lev_pct(a: str, b: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Full fuzzy-cascade oracle (Double Metaphone via inline side-table)
+# ---------------------------------------------------------------------------
+#
+# dmeta is not SQL-expressible, but it IS a pure function of the full-
+# name string — scripts/gen_dmeta_map.py materializes code(s) for every
+# distinct name string the part-derived person tables can produce (the
+# TPC-H color vocabulary keeps this to a few hundred rows), and the
+# oracle carries it as an inline VALUES CTE keyed by the STRING, which
+# the SQL computes itself.  The Spark engine computes dmeta with its
+# own pandas UDF (functions/phonetics.py) — two independent paths.
+
+
+def _dmeta_values_cte() -> str | None:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "dmeta_map.parquet"
+    )
+    try:
+        t = pq.read_table(path)
+    except (OSError, ImportError):
+        # running from a --py-files zip (no fixtures dir): the Spark
+        # queries are unaffected; the three full-cascade oracles
+        # degrade to rows-only rather than failing the whole import
+        return None
+    rows = ",".join(
+        f"('{s}','{c}')"
+        for s, c in zip(t.column("s").to_pylist(), t.column("code").to_pylist())
+    )
+    return f"dm AS (SELECT * FROM (VALUES {rows}) AS _dmv(s, code))"
+
+
+_DM_CTE = _dmeta_values_cte()
+
+
+def _swap_sql(a: str, b: str) -> str:
+    """a.birthdate == swap(b.birthdate) (defined only when day<=12)."""
+    return (
+        f"({a}.birthdate = CASE WHEN day({b}.birthdate) <= 12 THEN "
+        f"make_date(year({b}.birthdate), day({b}.birthdate), month({b}.birthdate)) END)"
+    )
+
+
+def _bd_cond2(a: str, b: str, allow_swap: bool) -> str:
+    base = f"{a}.birthdate = {b}.birthdate"
+    return f"({base} OR {_swap_sql(a, b)})" if allow_swap else base
+
+
+def _score_cascade_sql(
+    cand: str, no_middle: bool, threshold: float | None = None
+) -> str:
+    """The score_pairs classification (scoring.py:43-113 / reference
+    mod.rs:465-561) as SQL over a candidate CTE exposing columns:
+    t1_id, t2_id, f1, f2 (simple full strings), dm1, dm2 (dmeta codes),
+    sf1/sf2, sl1/sl2 (+ sm1/sm2 unless no_middle) simple field strings.
+    """
+    flev = "levenshtein(sf1, sf2) <= 2 AND levenshtein(sl1, sl2) <= 2"
+    if not no_middle:
+        flev += " AND levenshtein(sm1, sm2) <= 2"
+    thr = (
+        f"AND (CASE WHEN direct THEN 100.0 ELSE avg_s END) / 100.0 >= {threshold}"
+        if threshold is not None
+        else ""
+    )
+    return f"""
+metrics AS (
+  SELECT t1_id, t2_id, f1, f2,
+         {_lev_pct('f1', 'f2')} AS lev,
+         CASE WHEN f1 = f2 THEN 100.0
+              ELSE jaro_winkler_similarity(f1, f2) * 100.0 END AS jw,
+         CASE WHEN dm1 <> '' AND dm2 <> '' AND dm1 = dm2
+              THEN 100.0 ELSE 0.0 END AS mp,
+         ({flev}) AS flev_ok
+  FROM {cand}
+  WHERE trim(f1) <> '' AND trim(f2) <> ''),
+labeled AS (
+  SELECT *, (lev + jw + mp) / 3.0 AS avg_s,
+         (CASE WHEN lev >= 85.0 THEN 1 ELSE 0 END
+          + CASE WHEN jw >= 85.0 THEN 1 ELSE 0 END
+          + CASE WHEN mp = 100.0 THEN 1 ELSE 0 END) AS passes,
+         (f1 = f2) AS direct
+  FROM metrics),
+cls AS (
+  SELECT t1_id, t2_id,
+         CASE WHEN direct THEN 'DIRECT MATCH'
+              WHEN lev >= 85.0 AND jw >= 85.0 AND mp = 100.0 THEN 'CASE 1'
+              WHEN passes >= 2 AND avg_s >= 88.0 AND flev_ok THEN 'CASE 3'
+              WHEN passes >= 2 THEN 'CASE 2' END AS case_label,
+         CASE WHEN direct THEN 100.0 ELSE avg_s END AS score,
+         direct, avg_s
+  FROM labeled)
+SELECT t1_id, t2_id,
+       floor((score / 100.0) * 1000000) / 1000000 AS confidence,
+       case_label
+FROM cls
+WHERE case_label IS NOT NULL {thr}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Query registry
 # ---------------------------------------------------------------------------
 
@@ -149,10 +250,22 @@ ORACLE_SQL: dict[str, str] = {}
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
-        SPARK_QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            # lazy cache hygiene: each query releases the frames the
+            # PREVIOUS query's operators persisted (their lifetime ends
+            # when the driver finishes collecting that query)
+            from .plans.caching import unpersist_tracked
+
+            unpersist_tracked()
+            return fn(spark, sf_dir)
+
+        SPARK_QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -543,10 +656,15 @@ WITH tok AS (
   SELECT d.doc_id, d.lang, unnest(list_distinct(string_split_regex(lower(d.text), '\\s+'))) AS tok
   FROM documents d),
 tok2 AS (SELECT * FROM tok WHERE tok <> ''),
-sizes AS (SELECT doc_id, count(*) n FROM tok2 GROUP BY doc_id),
+nd AS (SELECT count(*) AS n FROM documents),
+keep AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok) df, nd
+  WHERE df.c <= 0.5 * nd.n),
+tok3 AS (SELECT t.* FROM tok2 t JOIN keep USING (tok)),
+sizes AS (SELECT doc_id, count(*) n FROM tok3 GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id d1, b.doc_id d2, count(*) c
-  FROM tok2 a JOIN tok2 b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM tok3 a JOIN tok3 b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT i.d1, i.d2, {_f6('i.c * 1.0 / (s1.n + s2.n - i.c)')} AS jaccard
 FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1 JOIN sizes s2 ON s2.doc_id = i.d2
@@ -554,10 +672,13 @@ WHERE i.c * 1.0 / (s1.n + s2.n - i.c) >= 0.6
 """,
 )
 def _dedup_token_jaccard(spark, sf_dir):
+    """The guarded (stop-token max_df=0.5) path — the one that
+    survives Zipf skew at web scale; the oracle applies the identical
+    document-frequency cutoff."""
     from .operators.dedup import token_jaccard_pairs
 
     register_views(spark, sf_dir)
-    out = token_jaccard_pairs(spark.table("documents"), threshold=0.6)
+    out = token_jaccard_pairs(spark.table("documents"), threshold=0.6, max_df=0.5)
     return out.select(
         "d1", "d2", (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")
     )
@@ -846,10 +967,58 @@ def _union_dedup(spark, sf_dir):
     return a.unionByName(b).distinct()
 
 
-# --- rows-only (non-SQL-expressible: metaphone cascade, iterative CC) --------
+# --- full fuzzy cascade (oracle via inline dmeta side-table) -----------------
 
 
-@q("algo3_full")
+def _pair_select(a: str, b: str, with_mid: bool) -> str:
+    mid = (
+        f"coalesce({a}.middle_name,'') sm1, coalesce({b}.middle_name,'') sm2, "
+        if with_mid
+        else ""
+    )
+    return (
+        f"SELECT {a}.id t1_id, {b}.id t2_id, {a}.birthdate a_bd, {b}.birthdate b_bd, "
+        f"{a}.f f1, {b}.f f2, {a}.dmc dm1, {b}.dmc dm2, "
+        f"coalesce({a}.first_name,'') sf1, coalesce({b}.first_name,'') sf2, {mid}"
+        f"coalesce({a}.last_name,'') sl1, coalesce({b}.last_name,'') sl2"
+    )
+
+
+_MID_VALID = (
+    "length(regexp_replace(regexp_replace(trim({m}), '^\\.+|\\.+$', '', 'g'),"
+    " '\\s', '', 'g')) >= 2"
+)
+
+_A3_FULL_TIERS = f"""
+na AS (SELECT q.*, q.fullname AS f, coalesce(dm.code, '') AS dmc
+       FROM ({_A3_KEYS_A}) q LEFT JOIN dm ON dm.s = q.fullname),
+nb AS (SELECT q.*, q.fullname AS f, coalesce(dm.code, '') AS dmc
+       FROM ({_A3_KEYS_B}) q LEFT JOIN dm ON dm.s = q.fullname),
+keys2 AS (SELECT DISTINCT yr, fi, li, sx FROM nb),
+tier1 AS ({_pair_select('na', 'nb', True)}
+  FROM na JOIN nb ON na.yr = nb.yr AND na.fi = nb.fi AND na.li = nb.li AND na.sx = nb.sx),
+m1 AS (SELECT * FROM na WHERE NOT EXISTS (
+  SELECT 1 FROM keys2 k WHERE k.yr = na.yr AND k.fi = na.fi AND k.li = na.li AND k.sx = na.sx)),
+tier2 AS ({_pair_select('m1', 'nb', True)}
+  FROM m1 JOIN nb ON nb.yr = m1.yr AND nb.fi = '?' AND nb.li = m1.li AND nb.sx = m1.sx),
+m2 AS (SELECT * FROM m1 WHERE NOT EXISTS (
+  SELECT 1 FROM keys2 k WHERE k.yr = m1.yr AND k.fi = '?' AND k.li = m1.li AND k.sx = m1.sx)),
+tier3 AS ({_pair_select('m2', 'nb', True)}
+  FROM m2 JOIN nb ON nb.yr = m2.yr AND nb.fi = m2.fi AND nb.li = m2.li
+                 AND nb.sx = substr(m2.sx, 1, 2) || '00'),
+cand AS (SELECT * FROM tier1 UNION ALL SELECT * FROM tier2 UNION ALL SELECT * FROM tier3),
+candf AS (SELECT * FROM cand WHERE a_bd = b_bd)
+"""
+
+
+@q(
+    "algo3_full",
+    None if _DM_CTE is None else f"""{_PERSONS_CTE},
+{_DM_CTE},
+{_A3_FULL_TIERS},
+{_score_cascade_sql('candf', no_middle=False)}
+""",
+)
 def _algo3_full(spark, sf_dir):
     from .operators.algos import match_fuzzy
 
@@ -862,7 +1031,22 @@ def _algo3_full(spark, sf_dir):
     )
 
 
-@q("algo4_full")
+_A4_FULL_NM = "concat(coalesce({p}.first_name, ''), ' ', coalesce({p}.last_name, ''))"
+
+
+@q(
+    "algo4_full",
+    None if _DM_CTE is None else f"""{_PERSONS_CTE},
+{_DM_CTE},
+qa AS (SELECT pa.*, {_A4_FULL_NM.format(p='pa')} AS f FROM pa WHERE pa.birthdate IS NOT NULL),
+qb AS (SELECT pb.*, {_A4_FULL_NM.format(p='pb')} AS f FROM pb WHERE pb.birthdate IS NOT NULL),
+qa2 AS (SELECT qa.*, coalesce(dm.code, '') AS dmc FROM qa LEFT JOIN dm ON dm.s = qa.f),
+qb2 AS (SELECT qb.*, coalesce(dm.code, '') AS dmc FROM qb LEFT JOIN dm ON dm.s = qb.f),
+cand AS ({_pair_select('qa2', 'qb2', False)}
+  FROM qa2 JOIN qb2 ON {_bd_cond2('qa2', 'qb2', True)}),
+{_score_cascade_sql('cand', no_middle=True)}
+""",
+)
 def _algo4_full(spark, sf_dir):
     from .operators.algos import match_fuzzy_no_mid
 
@@ -875,7 +1059,27 @@ def _algo4_full(spark, sf_dir):
     )
 
 
-@q("cascade_l10")
+_L10_FULL = (
+    "concat(coalesce({p}.first_name, ''), ' ', coalesce({p}.middle_name, ''), ' ', "
+    "coalesce({p}.last_name, ''))"
+)
+
+
+@q(
+    "cascade_l10",
+    None if _DM_CTE is None else f"""{_PERSONS_CTE},
+{_DM_CTE},
+qa AS (SELECT pa.*, {_L10_FULL.format(p='pa')} AS f FROM pa
+       WHERE pa.birthdate IS NOT NULL AND {_MID_VALID.format(m='pa.middle_name')}),
+qb AS (SELECT pb.*, {_L10_FULL.format(p='pb')} AS f FROM pb
+       WHERE pb.birthdate IS NOT NULL AND {_MID_VALID.format(m='pb.middle_name')}),
+qa2 AS (SELECT qa.*, coalesce(dm.code, '') AS dmc FROM qa LEFT JOIN dm ON dm.s = qa.f),
+qb2 AS (SELECT qb.*, coalesce(dm.code, '') AS dmc FROM qb LEFT JOIN dm ON dm.s = qb.f),
+cand AS ({_pair_select('qa2', 'qb2', True)}
+  FROM qa2 JOIN qb2 ON {_bd_cond2('qa2', 'qb2', True)}),
+{_score_cascade_sql('cand', no_middle=False, threshold=0.8)}
+""",
+)
 def _cascade_l10(spark, sf_dir):
     from .operators.cascade import match_level
 
@@ -888,6 +1092,9 @@ def _cascade_l10(spark, sf_dir):
     )
 
 
+# --- rows-only (non-SQL-expressible: iterative CC, arrival-order ties) -------
+
+
 @q("entity_clusters")
 def _entity_clusters(spark, sf_dir):
     from .operators.algos import match_fuzzy_no_mid
@@ -898,7 +1105,34 @@ def _entity_clusters(spark, sf_dir):
     return cluster_matches(pairs).orderBy("node")
 
 
-@q("simhash")
+# md5 hex nibble -> integer, as SQL (DuckDB has no conv(hex); fold the
+# first 8 hex chars positionally — values < 2^32 are exact in doubles)
+_HEX32 = (
+    "CAST(list_sum(list_transform(range(8), i -> "
+    "(strpos('0123456789abcdef', substr(md5({tok}), i + 1, 1)) - 1)"
+    " * power(16, 7 - i))) AS BIGINT)"
+)
+
+
+@q(
+    "simhash",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+  FROM documents),
+h AS (SELECT doc_id, {_HEX32.format(tok='tok')} AS h_int FROM t),
+b AS (
+  SELECT doc_id, bit,
+         CASE WHEN ((h_int >> bit) & 1) = 1 THEN 1 ELSE -1 END AS w
+  FROM h, (SELECT unnest(range(32)) AS bit) bits),
+s AS (SELECT doc_id, bit, sum(w) AS sw FROM b GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+""",
+)
 def _simhash(spark, sf_dir):
     from .operators.dedup import simhash_fingerprints
 
@@ -906,12 +1140,60 @@ def _simhash(spark, sf_dir):
     return simhash_fingerprints(spark.table("documents"))
 
 
-@q("ann_lsh")
+def _plane_sql(p: int, dim: int = 64) -> str:
+    """The deterministic md5-parity hyperplane as a SQL list literal —
+    the same constants annsearch._hyperplane feeds the Spark plan."""
+    from .operators.annsearch import _hyperplane
+
+    return "[" + ",".join(
+        "1.0" if s > 0 else "-1.0" for s in _hyperplane(dim, p)
+    ) + "]"
+
+
+def _bucket_sql(planes: list[int], vec: str = "v") -> str:
+    bits = ",".join(
+        f"CASE WHEN list_dot_product({vec}, {_plane_sql(p)}) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"concat({bits})"
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@q(
+    "ann_lsh",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, {_bucket_sql([0, 1, 2, 3])} AS bucket FROM e),
+j AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='c.v', b='q.v')} AS cosine
+  FROM e q JOIN b bq ON bq.vec_id = q.vec_id
+  JOIN b bc ON bc.bucket = bq.bucket
+  JOIN e c ON c.vec_id = bc.vec_id AND c.vec_id <> q.vec_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM j)
+SELECT query_id, neighbor_id, {_f6('cosine')} AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
 def _ann_lsh(spark, sf_dir):
     from .operators.annsearch import lsh_bucket_topk
 
     register_views(spark, sf_dir)
-    return lsh_bucket_topk(spark.table("embeddings"), k=5, n_planes=4)
+    out = lsh_bucket_topk(spark.table("embeddings"), k=5, n_planes=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 @q("households_opt6")
@@ -976,14 +1258,44 @@ def _embedding_near_dups(spark, sf_dir):
     )
 
 
-@q("embedding_near_dups_lsh")
+def _band_cte_sql(bands: int = 4, r: int = 2) -> str:
+    parts = [
+        f"SELECT vec_id, {b} AS band_id, "
+        f"{_bucket_sql(list(range(b * r, (b + 1) * r)))} AS bucket FROM e"
+        for b in range(bands)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@q(
+    "embedding_near_dups_lsh",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS ({_band_cte_sql(bands=4, r=2)}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+  FROM b x JOIN b y ON x.band_id = y.band_id AND x.bucket = y.bucket
+                   AND x.vec_id < y.vec_id),
+scored AS (
+  SELECT cand.d1, cand.d2, {_COS.format(a='e1.v', b='e2.v')} AS cosine
+  FROM cand JOIN e e1 ON e1.vec_id = cand.d1 JOIN e e2 ON e2.vec_id = cand.d2)
+SELECT d1, d2, {_f6('cosine')} AS cosine
+FROM scored WHERE cosine >= 0.5
+""",
+)
 def _embedding_near_dups_lsh(spark, sf_dir):
-    """LSH-bucketed approximate variant (recall < 1 by design) —
-    rows-only."""
+    """Banded LSH approximate variant: recall <1 by design, but the
+    bucketing is md5-deterministic, so the oracle replays the SAME
+    bands and the output is exact-comparable."""
     from .operators.annsearch import embedding_near_dups
 
     register_views(spark, sf_dir)
-    return embedding_near_dups(spark.table("embeddings"), threshold=0.5)
+    out = embedding_near_dups(
+        spark.table("embeddings"), threshold=0.5, n_planes=8, bands=4
+    )
+    return out.select(
+        "d1", "d2", (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine")
+    )
 
 
 @q("web_cluster_pages")

@@ -157,7 +157,10 @@ def match_fuzzy(t1: DataFrame, t2: DataFrame, allow_swap: bool = False) -> DataF
     # every branch re-runs the per-person normalize/metaphone UDFs
     # (plan audit: 48 ArrowEvalPython nodes -> 8). The reference
     # precomputes CpuFuzzyCache once for the same reason (mod.rs:2793).
-    t1, t2 = t1.persist(), t2.persist()
+    # Tracked: the caller releases via plans.caching.unpersist_tracked.
+    from ..plans.caching import tracked_persist
+
+    t1, t2 = tracked_persist(t1), tracked_persist(t2)
 
     t2_keys = t2.select(algo3_block_key().alias("_tk")).distinct()
 
@@ -249,8 +252,10 @@ def match_lev_weighted(t1: DataFrame, t2: DataFrame) -> DataFrame:
     Emits ALL deduped candidates with per-field Levenshtein mean
     confidence and matched-field flags; thresholding happens at export
     (csv_export.rs:151-154)."""
-    t1 = _require(t1, "birthdate").persist()
-    t2 = _require(t2, "birthdate").persist()
+    from ..plans.caching import tracked_persist
+
+    t1 = tracked_persist(_require(t1, "birthdate"))
+    t2 = tracked_persist(_require(t2, "birthdate"))
 
     def sx_keys(p):
         return [

@@ -217,7 +217,9 @@ def run_cascade(
             allow_swap=cfg.allow_birthdate_swap,
             max_block=cfg.max_fuzzy_block,
         )
-        m = m.orderBy("t1_id", "t2_id").cache()
+        from ..plans.caching import tracked_cache
+
+        m = tracked_cache(m.orderBy("t1_id", "t2_id"))
         count = m.count()
         out.append(LevelResult(level, m, count))
         if cfg.exclusive and count > 0:

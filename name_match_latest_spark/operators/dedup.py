@@ -79,8 +79,15 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+#: corpora at or above this size get the stop-token guard by default —
+#: without it the token self-join shuffles every occurrence of "the"
+#: (Zipf skew), a quadratic blow-up at web scale (round-1 finding:
+#: the unguarded path was the single worst bench query, 17s of 68s)
+AUTO_GUARD_MIN_DOCS = 2000
+
+
 def token_jaccard_pairs(
-    docs: DataFrame, threshold: float, max_df: float | None = None
+    docs: DataFrame, threshold: float, max_df: float | str | None = "auto"
 ) -> DataFrame:
     """Near-dup pairs by token-set Jaccard >= threshold (same lang).
 
@@ -88,9 +95,14 @@ def token_jaccard_pairs(
     The join shuffles on the token — frequent tokens are the skew
     axis.  ``max_df`` (0-1) drops tokens whose document frequency
     exceeds that fraction BEFORE the join (the standard stop-token
-    trick; changes Jaccard values — the exact-oracle query runs with
-    max_df=None).
+    trick; Jaccard is then computed over the FILTERED token sets, and
+    the DuckDB oracle mirrors the same cutoff).  The default "auto"
+    applies max_df=0.5 once the corpus exceeds AUTO_GUARD_MIN_DOCS;
+    pass ``max_df=None`` explicitly for the exact unfiltered metric
+    (safe only on small corpora).
     """
+    if max_df == "auto":
+        max_df = 0.5 if docs.count() >= AUTO_GUARD_MIN_DOCS else None
     toks = tokens_df(docs)
     if max_df is not None:
         n_docs = docs.count()

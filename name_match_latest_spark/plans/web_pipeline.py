@@ -67,7 +67,9 @@ def cluster_pages(pages: DataFrame) -> DataFrame:
     sides), the node set, and the final assignment join; without the
     persist the whole extract+normalize lineage re-executes per use.
     """
-    prepared = prepare_mentions(pages).persist()
+    from .caching import tracked_persist
+
+    prepared = tracked_persist(prepare_mentions(pages))
     edges = match_mentions(prepared).select(
         F.col("t1_id").alias("src"), F.col("t2_id").alias("dst")
     )
