@@ -7,6 +7,13 @@ Spark and DuckDB execute identically (names are lowercase ASCII, so
 the Unicode normalizers are identity here — their semantics are
 covered by pytest parity vectors instead).
 
+33 of 34 queries carry a value-hash DuckDB oracle (round 2 flipped the
+full fuzzy cascades via a precomputed Double-Metaphone side-table, the
+md5-deterministic LSH families, the opt6 households, the exclusive
+cascade chain, and connected components via recursive-CTE closure).
+The one rows-only query (web_cluster_pages) consumes Python-generated
+pages DuckDB cannot replay; its stages are covered piecewise.
+
 Float outputs use floor(x*1e6)/1e6 in BOTH engines (floor is
 rounding-mode-free, unlike round()).  All hashing is md5 (portable).
 """
@@ -189,25 +196,23 @@ def _bd_cond2(a: str, b: str, allow_swap: bool) -> str:
     return f"({base} OR {_swap_sql(a, b)})" if allow_swap else base
 
 
-def _score_cascade_sql(
-    cand: str, no_middle: bool, threshold: float | None = None
+def _score_metrics_ctes(
+    cand: str, no_middle: bool, carry: str = "", prefix: str = ""
 ) -> str:
     """The score_pairs classification (scoring.py:43-113 / reference
-    mod.rs:465-561) as SQL over a candidate CTE exposing columns:
-    t1_id, t2_id, f1, f2 (simple full strings), dm1, dm2 (dmeta codes),
-    sf1/sf2, sl1/sl2 (+ sm1/sm2 unless no_middle) simple field strings.
+    mod.rs:465-561) as a CTE chain over a candidate CTE exposing
+    columns: t1_id, t2_id, f1, f2 (simple full strings), dm1, dm2
+    (dmeta codes), sf1/sf2, sl1/sl2 (+ sm1/sm2 unless no_middle)
+    simple field strings.  Produces ``{prefix}cls`` with columns
+    t1_id, t2_id [, carry...], case_label (NULL for non-match), score.
+    ``carry`` ("", or ", col AS x, ...") rides extra columns through.
     """
     flev = "levenshtein(sf1, sf2) <= 2 AND levenshtein(sl1, sl2) <= 2"
     if not no_middle:
         flev += " AND levenshtein(sm1, sm2) <= 2"
-    thr = (
-        f"AND (CASE WHEN direct THEN 100.0 ELSE avg_s END) / 100.0 >= {threshold}"
-        if threshold is not None
-        else ""
-    )
     return f"""
-metrics AS (
-  SELECT t1_id, t2_id, f1, f2,
+{prefix}metrics AS (
+  SELECT t1_id, t2_id{carry}, f1, f2,
          {_lev_pct('f1', 'f2')} AS lev,
          CASE WHEN f1 = f2 THEN 100.0
               ELSE jaro_winkler_similarity(f1, f2) * 100.0 END AS jw,
@@ -216,22 +221,30 @@ metrics AS (
          ({flev}) AS flev_ok
   FROM {cand}
   WHERE trim(f1) <> '' AND trim(f2) <> ''),
-labeled AS (
+{prefix}labeled AS (
   SELECT *, (lev + jw + mp) / 3.0 AS avg_s,
          (CASE WHEN lev >= 85.0 THEN 1 ELSE 0 END
           + CASE WHEN jw >= 85.0 THEN 1 ELSE 0 END
           + CASE WHEN mp = 100.0 THEN 1 ELSE 0 END) AS passes,
          (f1 = f2) AS direct
-  FROM metrics),
-cls AS (
-  SELECT t1_id, t2_id,
+  FROM {prefix}metrics),
+{prefix}cls AS (
+  SELECT t1_id, t2_id{carry},
          CASE WHEN direct THEN 'DIRECT MATCH'
               WHEN lev >= 85.0 AND jw >= 85.0 AND mp = 100.0 THEN 'CASE 1'
               WHEN passes >= 2 AND avg_s >= 88.0 AND flev_ok THEN 'CASE 3'
               WHEN passes >= 2 THEN 'CASE 2' END AS case_label,
-         CASE WHEN direct THEN 100.0 ELSE avg_s END AS score,
-         direct, avg_s
-  FROM labeled)
+         CASE WHEN direct THEN 100.0 ELSE avg_s END AS score
+  FROM {prefix}labeled)"""
+
+
+def _score_cascade_sql(
+    cand: str, no_middle: bool, threshold: float | None = None
+) -> str:
+    """CTE chain + the standard final projection (confidence floored
+    to 1e-6, non-matches dropped, optional raw-confidence threshold)."""
+    thr = f"AND score / 100.0 >= {threshold}" if threshold is not None else ""
+    return f"""{_score_metrics_ctes(cand, no_middle)}
 SELECT t1_id, t2_id,
        floor((score / 100.0) * 1000000) / 1000000 AS confidence,
        case_label
@@ -684,9 +697,29 @@ def _dedup_token_jaccard(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_minhash_lsh",
-    """
+def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
+    """Mirrors minhash_signatures_wide/minhash_lsh_candidates: one
+    md5-derived 32-bit base hash per shingle, k affine mixes
+    (a_i*h + b_i) mod 2^61-1, banded md5 bucket hashes."""
+    from .operators.dedup import MINHASH_P, minhash_params
+
+    r = k // bands
+    params = minhash_params(k)
+    sig_cols = ",\n         ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(array_to_string(list_sort([{members}]), ',')) AS band_hash FROM sigs".format(
+            b=b,
+            members=", ".join(
+                f"concat('{i}', '|', cast(sig_{i} AS VARCHAR))"
+                for i in range(b * r, (b + 1) * r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
 WITH toks AS (
   SELECT d.doc_id,
          list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '') tl
@@ -697,20 +730,19 @@ tok AS (
            range(1, greatest(len(tl) - 2, 0) + 1),
            i -> array_to_string(list_slice(tl, i, i + 2), ' ')))) AS tok
   FROM toks),
-tok2 AS (SELECT * FROM tok),
-hashed AS (
-  SELECT doc_id, i.h_idx, md5(concat(cast(i.h_idx AS STRING), ':', tok)) h
-  FROM tok2, (SELECT unnest(range(8)) h_idx) i),
-sigs AS (SELECT doc_id, h_idx, min(h) sig FROM hashed GROUP BY doc_id, h_idx),
-bands AS (
-  SELECT doc_id, cast(floor(h_idx / 2) AS INT) band_id,
-         md5(array_to_string(list_sort(list(concat(cast(h_idx AS STRING), '|', sig))), ',')) band_hash
-  FROM sigs GROUP BY cast(floor(h_idx / 2) AS INT), doc_id)
+hashed AS (SELECT doc_id, ({_HEX32.format(tok='tok')}) % {MINHASH_P} AS h FROM tok),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hashed GROUP BY doc_id),
+bands AS ({band_rows})
 SELECT DISTINCT b1.doc_id d1, b2.doc_id d2
 FROM bands b1 JOIN bands b2
   ON b1.band_id = b2.band_id AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
-""",
-)
+"""
+
+
+@q("dedup_minhash_lsh", None)  # oracle attached below (needs _HEX32)
 def _dedup_minhash_lsh(spark, sf_dir):
     from .operators.dedup import minhash_lsh_candidates
 
@@ -1095,7 +1127,36 @@ def _cascade_l10(spark, sf_dir):
 # --- rows-only (non-SQL-expressible: iterative CC, arrival-order ties) -------
 
 
-@q("entity_clusters")
+def _entity_clusters_oracle() -> str | None:
+    """Connected components of the FuzzyNoMiddle match graph.  The
+    Spark side is iterative large-star/small-star; the oracle computes
+    the same min-label components by recursive-CTE transitive closure
+    (tractable at oracle scale; the closure is O(sum |comp|^2), which
+    is exactly why the ENGINE uses the O(log n)-round algorithm)."""
+    if _DM_CTE is None:
+        return None
+    persons_rec = _PERSONS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{persons_rec},
+{_DM_CTE},
+qa AS (SELECT pa.*, {_A4_FULL_NM.format(p='pa')} AS f FROM pa WHERE pa.birthdate IS NOT NULL),
+qb AS (SELECT pb.*, {_A4_FULL_NM.format(p='pb')} AS f FROM pb WHERE pb.birthdate IS NOT NULL),
+qa2 AS (SELECT qa.*, coalesce(dm.code, '') AS dmc FROM qa LEFT JOIN dm ON dm.s = qa.f),
+qb2 AS (SELECT qb.*, coalesce(dm.code, '') AS dmc FROM qb LEFT JOIN dm ON dm.s = qb.f),
+cand AS ({_pair_select('qa2', 'qb2', False)}
+  FROM qa2 JOIN qb2 ON qa2.birthdate = qb2.birthdate),
+{_score_metrics_ctes('cand', no_middle=True)},
+mp AS (SELECT t1_id, t2_id FROM cls WHERE case_label IS NOT NULL),
+edges AS (SELECT t1_id AS s, t2_id AS d FROM mp UNION SELECT t2_id, t1_id FROM mp),
+vertices AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM vertices
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+@q("entity_clusters", _entity_clusters_oracle())
 def _entity_clusters(spark, sf_dir):
     from .operators.algos import match_fuzzy_no_mid
     from .operators.clustering import cluster_matches
@@ -1112,6 +1173,9 @@ _HEX32 = (
     "(strpos('0123456789abcdef', substr(md5({tok}), i + 1, 1)) - 1)"
     " * power(16, 7 - i))) AS BIGINT)"
 )
+
+# minhash oracle needs _HEX32, which is defined after the query above
+ORACLE_SQL["dedup_minhash_lsh"] = _minhash_oracle()
 
 
 @q(
@@ -1196,12 +1260,61 @@ def _ann_lsh(spark, sf_dir):
     )
 
 
-@q("households_opt6")
+@q(
+    "households_opt6",
+    None
+    if _DM_CTE is None
+    else f"""{_PERSONS_CTE},
+{_DM_CTE},
+qa AS (SELECT pa.*, {_A4_FULL_NM.format(p='pa')} AS f FROM pa WHERE pa.birthdate IS NOT NULL),
+qb AS (SELECT pb.*, {_A4_FULL_NM.format(p='pb')} AS f FROM pb WHERE pb.birthdate IS NOT NULL),
+qa2 AS (SELECT qa.*, coalesce(dm.code, '') AS dmc FROM qa LEFT JOIN dm ON dm.s = qa.f),
+qb2 AS (SELECT qb.*, coalesce(dm.code, '') AS dmc FROM qb LEFT JOIN dm ON dm.s = qb.f),
+cand AS (
+  SELECT qa2.id t1_id, qb2.id t2_id, qa2.uuid t1_uuid,
+         coalesce(qb2.hh_id, cast(qb2.id AS VARCHAR)) hh_key,
+         qa2.f f1, qb2.f f2, qa2.dmc dm1, qb2.dmc dm2,
+         coalesce(qa2.first_name, '') sf1, coalesce(qb2.first_name, '') sf2,
+         coalesce(qa2.last_name, '') sl1, coalesce(qb2.last_name, '') sl2
+  FROM qa2 JOIN qb2 ON qa2.birthdate = qb2.birthdate),
+{_score_metrics_ctes('cand', no_middle=True, carry=', t1_uuid, hh_key')},
+pairs AS (
+  SELECT t1_id, t2_id, t1_uuid, hh_key, score / 100.0 AS conf
+  FROM cls WHERE case_label IS NOT NULL AND t1_uuid IS NOT NULL
+        AND score / 100.0 >= 0.8),
+win AS (SELECT *, max(conf) OVER (PARTITION BY t2_id) AS top FROM pairs),
+w2 AS (SELECT * FROM win WHERE conf = top),
+w3 AS (SELECT *, min(t1_uuid) OVER (PARTITION BY t2_id) AS grp_min FROM w2),
+fm AS (SELECT t2_id, min(t1_id) AS first_min FROM w3 WHERE t1_uuid = grp_min GROUP BY t2_id),
+tie AS (
+  SELECT w3.t2_id,
+         max(CASE WHEN w3.t1_uuid <> w3.grp_min AND w3.t1_id > f.first_min
+                  THEN 1 ELSE 0 END) AS t
+  FROM w3 JOIN fm f ON w3.t2_id = f.t2_id GROUP BY w3.t2_id),
+assigned AS (
+  SELECT DISTINCT w3.t2_id, w3.grp_min AS uuid, w3.hh_key
+  FROM w3 JOIN tie ON w3.t2_id = tie.t2_id WHERE tie.t = 0),
+matched AS (SELECT uuid, hh_key, count(*) AS members FROM assigned GROUP BY uuid, hh_key),
+totals AS (
+  SELECT coalesce(pb.hh_id, cast(pb.id AS VARCHAR)) AS hh_key, count(*) AS total
+  FROM pb GROUP BY coalesce(pb.hh_id, cast(pb.id AS VARCHAR))),
+agg AS (
+  SELECT m.uuid, m.hh_key, m.members * 100.0 / t.total AS pct
+  FROM matched m JOIN totals t ON m.hh_key = t.hh_key
+  WHERE m.members * 100.0 / t.total > 50.0)
+SELECT cast(row_number() OVER (ORDER BY hh_key, uuid) AS BIGINT) AS row_id, uuid,
+       coalesce(try_cast(hh_key AS BIGINT), 0) AS hh_id,
+       {_f6('pct')} AS match_percentage
+FROM agg
+""",
+)
 def _households_opt6(spark, sf_dir):
-    """Opt6 role-swapped household aggregation over FuzzyNoMiddle pairs
-    (tie arrival order is nondeterministic in the reference — HashMap
-    iteration — so this is rows-only; semantics are pytest-verified
-    against the arrival-order-faithful oracle)."""
+    """Opt6 role-swapped household aggregation over FuzzyNoMiddle
+    pairs.  The REFERENCE's tie arrival order is HashMap-
+    nondeterministic; OUR engine pins arrival order to t1_id ascending
+    (households.py window semantics), which is deterministic and
+    SQL-expressible — the oracle replays exactly that.  Reference-
+    faithfulness of the tie rules is pytest-verified separately."""
     from .operators.algos import match_fuzzy_no_mid
     from .operators.households import household_aggregate
 
@@ -1216,11 +1329,89 @@ def _households_opt6(spark, sf_dir):
     )
 
 
-@q("cascade_run_exclusive")
+_MID_VALID_NORM = "length(replace(trim({m}, '.'), ' ', '')) >= 2"
+
+
+def _cascade_exclusive_oracle() -> str | None:
+    """L1/L2/L3/L10/L11 exclusive cascade as one SQL chain: each level
+    consumes the sides with previously-matched ids anti-joined away
+    (cascade.rs:797-809), L10/L11 run the full scoring cascade via the
+    dmeta side-table.  Exclusion is order-dependent but fully
+    deterministic, hence SQL-expressible."""
+    if _DM_CTE is None:
+        return None
+    mid_a = _MID_VALID_NORM.format(m="a.middle_name")
+    mid_b = _MID_VALID_NORM.format(m="b.middle_name")
+    pair_cols = (
+        "SELECT a.id t1_id, b.id t2_id, a.f_mid f1, b.f_mid f2, "
+        "a.dmc_mid dm1, b.dmc_mid dm2, "
+        "coalesce(a.first_name,'') sf1, coalesce(b.first_name,'') sf2, "
+        "coalesce(a.middle_name,'') sm1, coalesce(b.middle_name,'') sm2, "
+        "coalesce(a.last_name,'') sl1, coalesce(b.last_name,'') sl2"
+    )
+    pair_cols_nm = (
+        "SELECT a.id t1_id, b.id t2_id, a.f_nm f1, b.f_nm f2, "
+        "a.dmc_nm dm1, b.dmc_nm dm2, "
+        "coalesce(a.first_name,'') sf1, coalesce(b.first_name,'') sf2, "
+        "coalesce(a.last_name,'') sl1, coalesce(b.last_name,'') sl2"
+    )
+    return f"""{_PERSONS_CTE},
+{_DM_CTE},
+ea0 AS (SELECT pa.*, {_L10_FULL.format(p='pa')} AS f_mid, {_A4_FULL_NM.format(p='pa')} AS f_nm FROM pa),
+eb0 AS (SELECT pb.*, {_L10_FULL.format(p='pb')} AS f_mid, {_A4_FULL_NM.format(p='pb')} AS f_nm FROM pb),
+ea AS (SELECT ea0.*, coalesce(dmm.code, '') AS dmc_mid, coalesce(dmn.code, '') AS dmc_nm
+       FROM ea0 LEFT JOIN dm dmm ON dmm.s = ea0.f_mid LEFT JOIN dm dmn ON dmn.s = ea0.f_nm),
+eb AS (SELECT eb0.*, coalesce(dmm.code, '') AS dmc_mid, coalesce(dmn.code, '') AS dmc_nm
+       FROM eb0 LEFT JOIN dm dmm ON dmm.s = eb0.f_mid LEFT JOIN dm dmn ON dmn.s = eb0.f_nm),
+l1 AS (
+  SELECT a.id t1_id, b.id t2_id FROM ea a JOIN eb b
+    ON a.first_name = b.first_name AND a.last_name = b.last_name
+   AND a.middle_name = b.middle_name AND a.birthdate = b.birthdate
+  WHERE {mid_a} AND {mid_b}),
+a2 AS (SELECT * FROM ea WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.t1_id = ea.id)),
+b2 AS (SELECT * FROM eb WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.t2_id = eb.id)),
+l2 AS (
+  SELECT a.id t1_id, b.id t2_id FROM a2 a JOIN b2 b
+    ON a.first_name = b.first_name AND a.last_name = b.last_name
+   AND substr(a.middle_name, 1, 1) = substr(b.middle_name, 1, 1)
+   AND a.birthdate = b.birthdate
+  WHERE a.middle_name IS NOT NULL AND b.middle_name IS NOT NULL),
+a3 AS (SELECT * FROM a2 WHERE NOT EXISTS (SELECT 1 FROM l2 WHERE l2.t1_id = a2.id)),
+b3 AS (SELECT * FROM b2 WHERE NOT EXISTS (SELECT 1 FROM l2 WHERE l2.t2_id = b2.id)),
+l3 AS (
+  SELECT a.id t1_id, b.id t2_id FROM a3 a JOIN b3 b
+    ON a.first_name = b.first_name AND a.last_name = b.last_name
+   AND a.birthdate = b.birthdate),
+a4 AS (SELECT * FROM a3 WHERE NOT EXISTS (SELECT 1 FROM l3 WHERE l3.t1_id = a3.id)),
+b4 AS (SELECT * FROM b3 WHERE NOT EXISTS (SELECT 1 FROM l3 WHERE l3.t2_id = b3.id)),
+c10 AS (
+  {pair_cols}
+  FROM a4 a JOIN b4 b ON a.birthdate = b.birthdate
+  WHERE {_MID_VALID.format(m='a.middle_name')} AND {_MID_VALID.format(m='b.middle_name')}),
+{_score_metrics_ctes('c10', no_middle=False, prefix='x10_')},
+l10 AS (SELECT t1_id, t2_id FROM x10_cls
+        WHERE case_label IS NOT NULL AND score / 100.0 >= 0.8),
+a5 AS (SELECT * FROM a4 WHERE NOT EXISTS (SELECT 1 FROM l10 WHERE l10.t1_id = a4.id)),
+b5 AS (SELECT * FROM b4 WHERE NOT EXISTS (SELECT 1 FROM l10 WHERE l10.t2_id = b4.id)),
+c11 AS (
+  {pair_cols_nm}
+  FROM a5 a JOIN b5 b ON a.birthdate = b.birthdate),
+{_score_metrics_ctes('c11', no_middle=True, prefix='x11_')},
+l11 AS (SELECT t1_id, t2_id FROM x11_cls
+        WHERE case_label IS NOT NULL AND score / 100.0 >= 0.8)
+SELECT t1_id, t2_id, 1 AS level FROM l1
+UNION ALL SELECT t1_id, t2_id, 2 FROM l2
+UNION ALL SELECT t1_id, t2_id, 3 FROM l3
+UNION ALL SELECT t1_id, t2_id, 10 FROM l10
+UNION ALL SELECT t1_id, t2_id, 11 FROM l11
+"""
+
+
+@q("cascade_run_exclusive", _cascade_exclusive_oracle())
 def _cascade_run_exclusive(spark, sf_dir):
     """Full exclusive cascade L1/L2/L3/L10/L11 with per-level tags —
-    the driver-loop orchestration (cascade.rs:622-903).  Exclusion
-    makes levels order-dependent on fuzzy scores -> rows-only."""
+    the driver-loop orchestration (cascade.rs:622-903), oracle-replayed
+    as a static anti-join chain."""
     from .operators.cascade import CascadeConfig, run_cascade
 
     t1, t2 = load_persons(spark, sf_dir)
@@ -1301,8 +1492,12 @@ def _embedding_near_dups_lsh(spark, sf_dir):
 @q("web_cluster_pages")
 def _web_cluster_pages(spark, sf_dir):
     """North-rule pipeline end-to-end on a deterministic synthetic
-    crawl (pages -> extract -> block -> score -> cluster).  Iterative
-    clustering is not SQL-expressible -> rows-only check."""
+    crawl (pages -> extract -> block -> score -> cluster).  Rows-only:
+    the input pages are generated by Python (sources/web.py), so DuckDB
+    cannot replay the extraction stage from the registered views.  Every
+    pipeline STAGE is oracle-verified elsewhere (blocking/scoring via
+    algo*/cascade queries, clustering via entity_clusters' recursive-CTE
+    oracle) and extraction has byte-exact pytest fixtures."""
     from .plans.web_pipeline import cluster_pages
     from .sources.web import generate_webpages
 

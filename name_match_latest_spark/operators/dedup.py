@@ -22,7 +22,7 @@ the person matcher.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -30,6 +30,8 @@ __all__ = [
     "exact_dedup",
     "token_jaccard_pairs",
     "minhash_signatures",
+    "minhash_signatures_wide",
+    "minhash_bands",
     "minhash_lsh_candidates",
     "simhash_fingerprints",
 ]
@@ -141,44 +143,136 @@ def token_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 8, shingle: int = 3) -> DataFrame:
-    """(doc_id, h_idx, sig): MinHash over md5(i || ':' || shingle).
+#: Mersenne prime 2^31-1: the affine-mix modulus.  One base hash per
+#: shingle (md5 -> 32-bit int, reduced mod P), k signatures derived as
+#: (a_i*h + b_i) mod P — the classic universal-hash family.  P must be
+#: SMALL relative to a_i*h so the multiplication wraps many times
+#: (with a 61-bit modulus the mix is order-preserving and all k
+#: "permutations" degenerate into one); a_i < 2^28 and h < 2^31 keep
+#: a_i*h < 2^59, no 64-bit overflow, while wrapping ~2^25 times.
+#: Constants are md5-derived so the DuckDB oracle replays them as
+#: literals.
+MINHASH_P = (1 << 31) - 1
 
-    min() over md5 hex STRINGS — deterministic, total-ordered, and
-    byte-identical across engines (no integer conversion needed).
-    """
-    toks = shingles_df(docs, n=shingle) if shingle > 1 else tokens_df(docs)
-    hashed = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h_idx"),
-        F.col("tok"),
-    ).withColumn(
-        "h", F.md5(F.concat(F.col("h_idx").cast("string"), F.lit(":"), F.col("tok")))
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"mh_a:{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"mh_b:{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def _shingle_array(text_col: Column, n: int) -> Column:
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    if n <= 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
     )
-    return hashed.groupBy("doc_id", "h_idx").agg(F.min("h").alias("sig"))
+
+
+def minhash_signatures_wide(
+    docs: DataFrame, k: int = 8, shingle: int = 3
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): MinHash signatures as int64.
+
+    SHUFFLE-FREE (round-2 plan fix, twice over): a doc's signature
+    depends only on its own shingles, so instead of explode + groupBy
+    (k rows per shingle through a shuffle in the naive form) the whole
+    computation is per-row higher-order functions — one md5 per
+    shingle into an int array, then k affine mixes
+    ``(a_i*h + b_i) mod 2^31-1`` under ``array_min``.  Pure codegen
+    scan, no exchange at all — and therefore stateless and legal on a
+    STREAMING DataFrame (streaming LSH dedup rides on this).
+
+    Docs with no shingles (< ``shingle`` tokens) emit no row, matching
+    the explode-form and the DuckDB oracle.
+    """
+    def base_of(s: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            % F.lit(MINHASH_P)
+        )
+
+    hs = F.transform(_shingle_array(F.col("text"), shingle), base_of)
+
+    def mix(a: int, b: int):
+        # factory closure: F.transform inspects the lambda's arity, so
+        # the inner lambda must take exactly one parameter
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("_hs"), mix(a, b))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    return (
+        docs.withColumn("_hs", hs)
+        .filter(F.size("_hs") > 0)
+        .select("doc_id", *sig_cols)
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8, shingle: int = 3) -> DataFrame:
+    """Long-format (doc_id, h_idx, sig) view of
+    :func:`minhash_signatures_wide` (compat shape for per-signature
+    analysis; the LSH path consumes the wide frame directly)."""
+    wide = minhash_signatures_wide(docs, k, shingle)
+    pairs = []
+    for i in range(k):
+        pairs += [F.lit(i), F.col(f"sig_{i}")]
+    stacked = wide.select(
+        "doc_id", F.explode(F.create_map(*pairs)).alias("h_idx", "sig")
+    )
+    return stacked
+
+
+def minhash_bands(
+    docs: DataFrame, k: int = 8, bands: int = 4, shingle: int = 3
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): banded LSH bucket assignments.
+
+    rows_per_band = k // bands; band hash = md5 of the band's
+    "h_idx|sig" strings joined in sorted order (byte-compatible with
+    the DuckDB oracle's array_sort construction).  Stateless per doc —
+    usable on a STREAMING frame as-is (see streaming.stream_match).
+    """
+    rows_per_band = k // bands
+    wide = minhash_signatures_wide(docs, k, shingle=shingle)
+    band_rows = []
+    for b in range(bands):
+        members = [
+            F.concat_ws("|", F.lit(str(i)), F.col(f"sig_{i}"))
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.array_join(F.array_sort(F.array(*members)), ",")).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("_b")
+    ).select("doc_id", F.col("_b.band_id").alias("band_id"), F.col("_b.band_hash").alias("band_hash"))
 
 
 def minhash_lsh_candidates(
     docs: DataFrame, k: int = 8, bands: int = 4, shingle: int = 3
 ) -> DataFrame:
-    """Near-dup candidate pairs sharing >=1 LSH band.
-
-    rows_per_band = k // bands; band hash = md5(concat of its sigs in
-    h_idx order).  Candidates come from an equi-join on
-    (band_id, band_hash) — the document count per bucket bounds the
-    quadratic blow-up exactly like a person blocking key.
+    """Near-dup candidate pairs sharing >=1 LSH band.  Candidates come
+    from an equi-join on (band_id, band_hash) — the document count per
+    bucket bounds the quadratic blow-up exactly like a person blocking
+    key.
     """
-    rows_per_band = k // bands
-    sigs = minhash_signatures(docs, k, shingle=shingle)
-    band = (
-        sigs.withColumn("band_id", (F.col("h_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(F.array_sort(F.collect_list(F.concat_ws("|", F.col("h_idx"), F.col("sig")))), ",")
-            ).alias("band_hash")
-        )
-    )
+    band = minhash_bands(docs, k, bands, shingle)
     b1 = band.select(F.col("doc_id").alias("d1"), "band_id", "band_hash")
     b2 = band.select(F.col("doc_id").alias("d2"), "band_id", "band_hash")
     return (

@@ -29,9 +29,45 @@ from ..operators.scoring import score_pairs
 
 __all__ = [
     "stream_match_against_static",
+    "stream_dedup_against_corpus",
     "events_windowed_counts",
     "stateful_entity_counts",
 ]
+
+
+def stream_dedup_against_corpus(
+    stream_docs: DataFrame,
+    corpus_bands: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup candidates of an incoming DOCUMENT stream against a
+    static corpus — the training-data ingest filter ("is this page a
+    dup of something already in the corpus?") as a stream-static join.
+
+    The stream side's MinHash band assignment is SHUFFLE-FREE per-row
+    arithmetic (dedup.minhash_signatures_wide is array_min/transform
+    higher-order functions), so it is legal on an unbounded stream with
+    no state and no watermark; the join on (band_id, band_hash) is a
+    supported stateless stream-static inner join.
+
+    ``corpus_bands`` is ``dedup.minhash_bands(corpus, k, bands,
+    shingle)`` — precompute it once (or keep it as a compacted table
+    the batch pipeline maintains).  Output: (doc_id, band_id,
+    corpus_doc_id) candidate hits; dedupe/score downstream.
+    """
+    from ..operators.dedup import minhash_bands
+
+    stream_b = minhash_bands(stream_docs, k, bands, shingle)
+    corpus_b = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_hash"
+    )
+    return (
+        stream_b.join(corpus_b, on=["band_id", "band_hash"], how="inner")
+        .filter(F.col("doc_id") != F.col("corpus_doc_id"))
+        .select("doc_id", "corpus_doc_id", "band_id")
+    )
 
 
 def stream_match_against_static(

@@ -1,0 +1,71 @@
+"""MinHash/LSH quality gate: planted near-dups must surface as
+candidates, and the affine hash family must behave as independent
+permutations (round-2 regression: an order-preserving mix collapsed
+all k signatures into one, inflating candidates ~5x)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql.types import StringType, StructField, StructType
+
+N_BASE = 50
+N_DUPS = 10
+WORDS = [f"w{i:03d}" for i in range(400)]
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+    ]
+)
+
+
+def _corpus():
+    rng = random.Random(99)
+    rows = []
+    base_texts = []
+    for i in range(N_BASE):
+        words = [rng.choice(WORDS) for _ in range(40)]
+        base_texts.append(words)
+        rows.append((f"base{i:02d}", " ".join(words), "en"))
+    for j in range(N_DUPS):
+        words = list(base_texts[j])
+        words[7] = "CHANGED"  # one-word edit: shingle-Jaccard ~ 0.85
+        rows.append((f"dup{j:02d}", " ".join(words), "en"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_corpus(), SCHEMA).cache()
+
+
+def test_planted_pairs_are_candidates(spark, docs):
+    from name_match_latest_spark.operators.dedup import minhash_lsh_candidates
+
+    got = {
+        tuple(sorted((r.d1, r.d2)))
+        for r in minhash_lsh_candidates(docs, k=8, bands=4).collect()
+    }
+    planted = {tuple(sorted((f"base{j:02d}", f"dup{j:02d}"))) for j in range(N_DUPS)}
+    found = len(got & planted)
+    assert found >= 9, f"minhash recall {found}/{N_DUPS}"
+    # random 40-word docs over a 400-word vocab share few shingles:
+    # candidate count must stay near the planted set, not explode
+    assert len(got) <= N_DUPS + 10, f"{len(got)} candidates (degenerate family?)"
+
+
+def test_signatures_are_independent(spark, docs):
+    """Distinct signature columns must disagree on their argmin doc
+    ordering — k copies of one permutation would make banding useless."""
+    from name_match_latest_spark.operators.dedup import minhash_signatures_wide
+
+    wide = minhash_signatures_wide(docs, k=8).collect()
+    # rank docs by each signature; identical rankings = degenerate
+    orders = []
+    for i in range(8):
+        orders.append(tuple(r.doc_id for r in sorted(wide, key=lambda r: r[f"sig_{i}"])))
+    assert len(set(orders)) == 8
