@@ -229,7 +229,7 @@ def _score_metrics_ctes(
          (f1 = f2) AS direct
   FROM {prefix}metrics),
 {prefix}cls AS (
-  SELECT t1_id, t2_id{carry},
+  SELECT t1_id, t2_id{carry}, lev, jw, mp,
          CASE WHEN direct THEN 'DIRECT MATCH'
               WHEN lev >= 85.0 AND jw >= 85.0 AND mp = 100.0 THEN 'CASE 1'
               WHEN passes >= 2 AND avg_s >= 88.0 AND flev_ok THEN 'CASE 3'
@@ -1121,6 +1121,52 @@ def _cascade_l10(spark, sf_dir):
         "t1_id", "t2_id",
         (F.floor(F.col("confidence") * 1e6) / 1e6).alias("confidence"),
         "case_label",
+    )
+
+
+@q(
+    "score_breakdown",
+    None
+    if _DM_CTE is None
+    else f"""{_PERSONS_CTE},
+{_DM_CTE},
+qa AS (SELECT pa.*, {_A4_FULL_NM.format(p='pa')} AS f FROM pa WHERE pa.birthdate IS NOT NULL),
+qb AS (SELECT pb.*, {_A4_FULL_NM.format(p='pb')} AS f FROM pb WHERE pb.birthdate IS NOT NULL),
+qa2 AS (SELECT qa.*, coalesce(dm.code, '') AS dmc FROM qa LEFT JOIN dm ON dm.s = qa.f),
+qb2 AS (SELECT qb.*, coalesce(dm.code, '') AS dmc FROM qb LEFT JOIN dm ON dm.s = qb.f),
+cand AS ({_pair_select('qa2', 'qb2', False)}
+  FROM qa2 JOIN qb2 ON qa2.birthdate = qb2.birthdate),
+{_score_metrics_ctes('cand', no_middle=True)}
+SELECT t1_id, t2_id,
+       {_f6('lev')} AS lev_pct, {_f6('jw')} AS jw_pct, mp AS mp_pct,
+       case_label,
+       CASE WHEN case_label IS NULL THEN NULL
+            ELSE floor((score / 100.0) * 1000000) / 1000000 END AS confidence
+FROM cls
+""",
+)
+def _score_breakdown(spark, sf_dir):
+    """The ScoreBreakdown / explain_pair debug surface (mod.rs:17-29,
+    :143-250) distributed: EVERY birthdate-blocked candidate pair with
+    its lev/jw/mp metrics, case label (NULL = non-match) and
+    confidence — the explain=True projection of score_pairs."""
+    from .operators.algos import _require
+    from .operators.blocking import pair_join
+    from .operators.scoring import score_pairs
+
+    t1, t2 = load_persons(spark, sf_dir)
+    t1 = _require(t1, "birthdate")
+    t2 = _require(t2, "birthdate")
+    pairs = pair_join(t1, t2, lambda p: [F.col(f"{p}bd_str")])
+    out = score_pairs(pairs, no_middle=True, explain=True)
+    return out.select(
+        "t1_id",
+        "t2_id",
+        (F.floor(F.col("lev_pct") * 1e6) / 1e6).alias("lev_pct"),
+        (F.floor(F.col("jw_pct") * 1e6) / 1e6).alias("jw_pct"),
+        "mp_pct",
+        "case_label",
+        (F.floor(F.col("confidence") * 1e6) / 1e6).alias("confidence"),
     )
 
 

@@ -265,14 +265,35 @@ def minhash_bands(
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, k: int = 8, bands: int = 4, shingle: int = 3
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs sharing >=1 LSH band.  Candidates come
     from an equi-join on (band_id, band_hash) — the document count per
     bucket bounds the quadratic blow-up exactly like a person blocking
     key.
+
+    ``max_bucket`` is the web-scale guard: a crawl with 10k byte-copies
+    of one page puts all of them in the same bucket in EVERY band —
+    10k² pairs × 4, for dups that exact_dedup already catches with one
+    groupBy.  Buckets above the cap are dropped (run ``exact_dedup``
+    first, then LSH on the distinct survivors — the standard split of
+    labor).  None = uncapped (the oracle query runs uncapped).
     """
     band = minhash_bands(docs, k, bands, shingle)
+    if max_bucket is not None:
+        oversized = (
+            band.groupBy("band_id", "band_hash")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band_id", "band_hash")
+        )
+        band = band.join(
+            F.broadcast(oversized), ["band_id", "band_hash"], "left_anti"
+        )
     b1 = band.select(F.col("doc_id").alias("d1"), "band_id", "band_hash")
     b2 = band.select(F.col("doc_id").alias("d2"), "band_id", "band_hash")
     return (

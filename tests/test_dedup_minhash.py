@@ -69,3 +69,27 @@ def test_signatures_are_independent(spark, docs):
     for i in range(8):
         orders.append(tuple(r.doc_id for r in sorted(wide, key=lambda r: r[f"sig_{i}"])))
     assert len(set(orders)) == 8
+
+
+def test_max_bucket_guard_drops_dup_crowds(spark):
+    """A crowd of byte-identical docs must not explode the candidate
+    join when max_bucket caps bucket size (exact_dedup's job)."""
+    from name_match_latest_spark.operators.dedup import minhash_lsh_candidates
+
+    crowd = [(f"copy{i:02d}", "same exact text repeated here for everyone", "en")
+             for i in range(30)]
+    pairs = _corpus() + crowd
+    docs = spark.createDataFrame(pairs, SCHEMA)
+
+    uncapped = minhash_lsh_candidates(docs, k=8, bands=4).count()
+    capped = minhash_lsh_candidates(docs, k=8, bands=4, max_bucket=10).count()
+    crowd_pairs = 30 * 29 // 2
+    assert uncapped >= crowd_pairs  # the crowd dominates uncapped
+    assert capped <= uncapped - crowd_pairs  # crowd buckets dropped
+    # planted near-dups (buckets of 2) survive the cap
+    from_planted = {
+        tuple(sorted((r.d1, r.d2)))
+        for r in minhash_lsh_candidates(docs, k=8, bands=4, max_bucket=10).collect()
+    }
+    planted = {tuple(sorted((f"base{j:02d}", f"dup{j:02d}"))) for j in range(N_DUPS)}
+    assert len(from_planted & planted) >= 9

@@ -104,11 +104,24 @@ def generated_messy_dataset():
     return left, right
 
 
+def generated_sparse_dataset():
+    """mod.rs:863-872 (re-derived): right side mostly rewritten to
+    non-matching birthdates + synthetic last names.  No published
+    count — gated on oracle pair-set equality only."""
+    left, right = generated_dataset(400, 420, 19, False)
+    for idx, p in enumerate(right):
+        if idx % 3 != 0:
+            p.birthdate = datetime.date(1960 + idx % 30, 12, 28)
+            p.last_name = f"SparseLast{idx}"
+    return left, right
+
+
 DATASETS = {
     "small": (lambda: generated_dataset(24, 28, 3, False), 21),
     "medium": (lambda: generated_dataset(500, 560, 7, False), 164),
     "duplicate-heavy": (lambda: generated_dataset(800, 900, 5, True), 600),
     "messy": (generated_messy_dataset, 4),
+    "sparse": (generated_sparse_dataset, None),
     "large": (lambda: generated_dataset(2_000, 2_200, 11, False), 1_735),
 }
 
@@ -134,7 +147,8 @@ def test_published_parity_gate(spark, name):
     build, expected = DATASETS[name]
     left, right = build()
     got = _spark_pairs(spark, left, right)
-    assert len(got) == expected, f"{name}: {len(got)} != published {expected}"
+    if expected is not None:
+        assert len(got) == expected, f"{name}: {len(got)} != published {expected}"
     # pair-id sets must also agree with the reference-faithful oracle
     want = {(t[0], t[1]) for t in oracle_fuzzy(left, right, allow_swap=False)}
     assert got == want
