@@ -697,10 +697,11 @@ def _dedup_token_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
+def _minhash_oracle(k: int = 8, bands: int = 4, max_bucket: int | None = None) -> str:
     """Mirrors minhash_signatures_wide/minhash_lsh_candidates: one
     md5-derived 32-bit base hash per shingle, k affine mixes
-    (a_i*h + b_i) mod 2^61-1, banded md5 bucket hashes."""
+    (a_i*h + b_i) mod 2^31-1, banded md5 bucket hashes; optional
+    ``max_bucket`` cap mirrors the web-scale dup-crowd guard."""
     from .operators.dedup import MINHASH_P, minhash_params
 
     r = k // bands
@@ -719,6 +720,15 @@ def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
+    guard = ""
+    bands_src = "bands0"
+    if max_bucket is not None:
+        guard = f""",
+keepb AS (
+  SELECT band_id, band_hash FROM bands0
+  GROUP BY band_id, band_hash HAVING count(*) <= {max_bucket}),
+bands AS (SELECT b.* FROM bands0 b JOIN keepb USING (band_id, band_hash))"""
+        bands_src = "bands"
     return f"""
 WITH toks AS (
   SELECT d.doc_id,
@@ -735,9 +745,9 @@ sigs AS (
   SELECT doc_id,
          {sig_cols}
   FROM hashed GROUP BY doc_id),
-bands AS ({band_rows})
+bands0 AS ({band_rows}){guard}
 SELECT DISTINCT b1.doc_id d1, b2.doc_id d2
-FROM bands b1 JOIN bands b2
+FROM {bands_src} b1 JOIN {bands_src} b2
   ON b1.band_id = b2.band_id AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
 """
 
@@ -1222,6 +1232,21 @@ _HEX32 = (
 
 # minhash oracle needs _HEX32, which is defined after the query above
 ORACLE_SQL["dedup_minhash_lsh"] = _minhash_oracle()
+
+
+@q("dedup_minhash_guarded")
+def _dedup_minhash_guarded(spark, sf_dir):
+    """The web-scale guarded LSH path (max_bucket dup-crowd cap) —
+    same banding, oversized buckets dropped; oracle mirrors the cap."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    register_views(spark, sf_dir)
+    return minhash_lsh_candidates(
+        spark.table("documents"), k=8, bands=4, max_bucket=20
+    )
+
+
+ORACLE_SQL["dedup_minhash_guarded"] = _minhash_oracle(max_bucket=20)
 
 
 @q(

@@ -179,22 +179,46 @@ def _shingle_array(text_col: Column, n: int) -> Column:
 
 
 def minhash_signatures_wide(
-    docs: DataFrame, k: int = 8, shingle: int = 3
+    docs: DataFrame, k: int = 8, shingle: int = 3, stream_safe: bool = False
 ) -> DataFrame:
-    """(doc_id, sig_0..sig_{k-1}): MinHash signatures as int64.
+    """(doc_id, sig_0..sig_{k-1}): MinHash signatures as int64 — one
+    md5-derived 32-bit base hash per shingle, k affine mixes
+    ``(a_i*h + b_i) mod 2^31-1`` (round-2 fix: one hash per shingle
+    instead of k).
 
-    SHUFFLE-FREE (round-2 plan fix, twice over): a doc's signature
-    depends only on its own shingles, so instead of explode + groupBy
-    (k rows per shingle through a shuffle in the naive form) the whole
-    computation is per-row higher-order functions — one md5 per
-    shingle into an int array, then k affine mixes
-    ``(a_i*h + b_i) mod 2^31-1`` under ``array_min``.  Pure codegen
-    scan, no exchange at all — and therefore stateless and legal on a
-    STREAMING DataFrame (streaming LSH dedup rides on this).
+    Two physically different plans, identical values:
 
-    Docs with no shingles (< ``shingle`` tokens) emit no row, matching
-    the explode-form and the DuckDB oracle.
+    * default (batch): shingle explode -> ONE groupBy(doc_id) with k
+      min-aggregates.  The k-way fan-out happens map-side inside
+      whole-stage codegen and partial aggregation collapses the
+      shuffle to one row per doc — measured 3x faster than the
+      higher-order-function form at sf0.1, because HOF lambdas
+      (ArrayTransform/ArrayMin) are CodegenFallback, i.e. interpreted
+      per element.
+    * ``stream_safe=True``: per-row array_min/transform arithmetic —
+      NO aggregation at all, hence legal on an unbounded STREAMING
+      DataFrame (stream-static ingest dedup).  Slower per row
+      (interpreted HOFs) but stateless.
+
+    Docs with no shingles (< ``shingle`` tokens) emit no row in either
+    form, matching the DuckDB oracle.
     """
+    params = minhash_params(k)
+    if not stream_safe:
+        toks = shingles_df(docs, n=shingle) if shingle > 1 else tokens_df(docs)
+        h = (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % F.lit(MINHASH_P)
+        )
+        hashed = toks.withColumn("_h", h)
+        mins = [
+            F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"sig_{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+        return hashed.groupBy("doc_id").agg(*mins)
+
     def base_of(s: Column) -> Column:
         return (
             F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
@@ -234,17 +258,21 @@ def minhash_signatures(docs: DataFrame, k: int = 8, shingle: int = 3) -> DataFra
 
 
 def minhash_bands(
-    docs: DataFrame, k: int = 8, bands: int = 4, shingle: int = 3
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+    stream_safe: bool = False,
 ) -> DataFrame:
     """(doc_id, band_id, band_hash): banded LSH bucket assignments.
 
     rows_per_band = k // bands; band hash = md5 of the band's
     "h_idx|sig" strings joined in sorted order (byte-compatible with
-    the DuckDB oracle's array_sort construction).  Stateless per doc —
-    usable on a STREAMING frame as-is (see streaming.stream_match).
-    """
+    the DuckDB oracle's array_sort construction).  Pass
+    ``stream_safe=True`` on a STREAMING frame (per-row signature plan,
+    no aggregation — see minhash_signatures_wide)."""
     rows_per_band = k // bands
-    wide = minhash_signatures_wide(docs, k, shingle=shingle)
+    wide = minhash_signatures_wide(docs, k, shingle=shingle, stream_safe=stream_safe)
     band_rows = []
     for b in range(bands):
         members = [

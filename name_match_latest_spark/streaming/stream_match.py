@@ -59,7 +59,7 @@ def stream_dedup_against_corpus(
     """
     from ..operators.dedup import minhash_bands
 
-    stream_b = minhash_bands(stream_docs, k, bands, shingle)
+    stream_b = minhash_bands(stream_docs, k, bands, shingle, stream_safe=True)
     corpus_b = corpus_bands.select(
         F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_hash"
     )

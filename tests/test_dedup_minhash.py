@@ -93,3 +93,15 @@ def test_max_bucket_guard_drops_dup_crowds(spark):
     }
     planted = {tuple(sorted((f"base{j:02d}", f"dup{j:02d}"))) for j in range(N_DUPS)}
     assert len(from_planted & planted) >= 9
+
+
+def test_stream_safe_plan_equals_batch_plan(spark, docs):
+    """The per-row (streaming-legal) signature plan and the
+    explode+groupBy (batch) plan must produce identical values."""
+    from name_match_latest_spark.operators.dedup import minhash_signatures_wide
+
+    a = {r.doc_id: tuple(r[f"sig_{i}"] for i in range(8))
+         for r in minhash_signatures_wide(docs, k=8).collect()}
+    b = {r.doc_id: tuple(r[f"sig_{i}"] for i in range(8))
+         for r in minhash_signatures_wide(docs, k=8, stream_safe=True).collect()}
+    assert a == b
