@@ -67,7 +67,64 @@ class SnapshotTable:
         os.replace(head_tmp, os.path.join(self.path, "HEAD"))
         return snap_id
 
+    def append(self, df: DataFrame, batch_id: int | None = None) -> str | None:
+        """Iceberg-style APPEND commit: writes ONLY the new rows' files
+        and lists parent files + new files in the manifest — no rewrite
+        of existing data (commit() rewrites; append() is O(batch)).
+
+        ``batch_id`` makes the commit IDEMPOTENT for streaming
+        foreachBatch sinks: Structured Streaming replays a failed
+        micro-batch with the same id, and a batch at or below the last
+        committed id is skipped (returns None) — the standard
+        transactional-sink recipe, here backed by the atomic HEAD flip.
+        """
+        parent = self.current_snapshot()
+        if batch_id is not None and parent is not None:
+            last = self._manifest(parent).get("batch_id")
+            if last is not None and batch_id <= last:
+                return None  # replayed batch — already committed
+        snap_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        data_dir = os.path.join(self.path, "data", snap_id)
+        df.write.mode("errorifexists").parquet(data_dir)
+        new_files = [
+            os.path.join(data_dir, f)
+            for f in sorted(os.listdir(data_dir))
+            if f.endswith(".parquet")
+        ]
+        parent_paths = self._file_paths(parent) if parent is not None else []
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent": parent,
+            "committed_at": time.time(),
+            "file_paths": parent_paths + new_files,
+            "batch_id": batch_id,
+        }
+        mpath = os.path.join(self.path, "snapshots", f"{snap_id}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        head_tmp = os.path.join(self.path, "HEAD.tmp")
+        with open(head_tmp, "w") as f:
+            f.write(snap_id)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(head_tmp, os.path.join(self.path, "HEAD"))
+        return snap_id
+
     # --- read side ----------------------------------------------------------
+
+    def _manifest(self, snap_id: str) -> dict:
+        with open(os.path.join(self.path, "snapshots", f"{snap_id}.json")) as f:
+            return json.load(f)
+
+    def _file_paths(self, snap_id: str) -> list[str]:
+        m = self._manifest(snap_id)
+        if "file_paths" in m:
+            return m["file_paths"]
+        return [os.path.join(m["data_dir"], p) for p in m["files"]]
 
     def current_snapshot(self) -> str | None:
         head = os.path.join(self.path, "HEAD")
@@ -92,8 +149,4 @@ class SnapshotTable:
         snap_id = snapshot_id or self.current_snapshot()
         if snap_id is None:
             raise FileNotFoundError(f"no snapshot committed at {self.path}")
-        mpath = os.path.join(self.path, "snapshots", f"{snap_id}.json")
-        with open(mpath) as f:
-            manifest = json.load(f)
-        paths = [os.path.join(manifest["data_dir"], p) for p in manifest["files"]]
-        return spark.read.parquet(*paths)
+        return spark.read.parquet(*self._file_paths(snap_id))

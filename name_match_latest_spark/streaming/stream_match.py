@@ -30,9 +30,33 @@ from ..operators.scoring import score_pairs
 __all__ = [
     "stream_match_against_static",
     "stream_dedup_against_corpus",
+    "stream_to_snapshot_table",
     "events_windowed_counts",
     "stateful_entity_counts",
 ]
+
+
+def stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: str):
+    """Exactly-once streaming sink into a SnapshotTable: every
+    micro-batch is an ATOMIC append commit (Iceberg-append analogue),
+    and batch-id idempotence makes failure replays no-ops — the
+    standard transactional foreachBatch recipe (the reference's
+    flush-every-N incremental CsvStreamWriter, csv_export.rs, with
+    transactional semantics it cannot offer on a bare CSV file).
+
+    Returns the StreamingQuery; caller picks the trigger via
+    ``.trigger(...)`` conventions by stopping/awaiting it.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, batch_id=batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_dedup_against_corpus(

@@ -1,0 +1,63 @@
+"""Exactly-once streaming sink into SnapshotTable: atomic per-batch
+append commits + batch-id idempotence under replay."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("v", StringType(), False),
+    ]
+)
+
+
+def test_stream_sink_appends_exactly_once(spark, tmp_path):
+    from name_match_latest_spark.sources.tables import SnapshotTable
+    from name_match_latest_spark.streaming.stream_match import (
+        stream_to_snapshot_table,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i, f"a{i}") for i in range(10)], SCHEMA).write.parquet(src)
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src)
+    q = stream_to_snapshot_table(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert t.read(spark).count() == 10
+    snaps = t.snapshots()
+    assert len(snaps) >= 2  # multiple micro-batches, one commit each
+    batch_ids = [s.get("batch_id") for s in snaps]
+    assert batch_ids == sorted(batch_ids)
+
+
+def test_append_is_idempotent_on_replay(spark, tmp_path):
+    from name_match_latest_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(1, "x"), (2, "y")], SCHEMA)
+    s1 = t.append(df, batch_id=0)
+    assert s1 is not None
+    # replay of the SAME batch id (post-failure re-run) must be a no-op
+    assert t.append(df, batch_id=0) is None
+    assert t.read(spark).count() == 2
+    # next batch appends WITHOUT rewriting batch 0's files
+    s2 = t.append(spark.createDataFrame([(3, "z")], SCHEMA), batch_id=1)
+    assert s2 is not None
+    assert t.read(spark).count() == 3
+    # pinned read of the first snapshot still sees only batch 0
+    assert t.read(spark, snapshot_id=s1).count() == 2
+
+
+def test_append_interops_with_full_commit(spark, tmp_path):
+    from name_match_latest_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "x")], SCHEMA))
+    t.append(spark.createDataFrame([(2, "y")], SCHEMA))
+    assert {r.id for r in t.read(spark).collect()} == {1, 2}
