@@ -76,14 +76,58 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Exact min-label components via path-halving union-find on the
+    driver (bounded by driver_threshold edges), same output contract
+    as the distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent.get(root, root)
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent.get(x, x)
+        return root
+
+    for row in e.toLocalIterator():
+        a, b = find(row.src), find(row.dst)
+        if a != b:
+            # union by MIN so roots are component minima directly
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+
+    assign = {x: find(x) for x in list(parent)}
+    spark = e.sparkSession
+    if assign:
+        amap = spark.createDataFrame(
+            list(assign.items()), schema=nodes.select("node").schema.add(
+                "component", nodes.schema["node"].dataType
+            ),
+        )
+        return nodes.join(amap, "node", "left").select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    return nodes.withColumn("component", F.col("node"))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
-    component id = minimum node id in the component."""
+    component id = minimum node id in the component.
+
+    Edge sets at or below ``driver_threshold`` take a driver-side
+    union-find fast path: the distributed loop costs O(log n) rounds of
+    shuffle+scheduling latency, a fixed ~seconds floor that dwarfs
+    microseconds of union-find on a small graph (GraphFrames ships the
+    same hybrid).  Memory is bounded and explicit: 1M edges ≈ tens of
+    MB on the driver.  Above the threshold — the 100 TB regime — the
+    alternating large-star/small-star loop runs as before."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -94,6 +138,8 @@ def connected_components(
     n_edges = e.count()
     if n_edges == 0:
         return nodes.withColumn("component", F.col("node"))
+    if n_edges <= driver_threshold:
+        return _driver_union_find(e, nodes)
 
     # right-size the iteration shuffles: CC rounds are many small jobs;
     # per-round overhead is proportional to partition count, so width

@@ -60,3 +60,27 @@ def test_self_loops_and_dups(spark):
     edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 9)]
     present = {5, 1, 2, 7, 9}
     assert _spark_cc(spark, edges) == union_find_components(edges, present)
+
+
+def test_distributed_loop_equals_driver_fast_path(spark):
+    """Both physical paths — driver union-find (small graphs) and the
+    alternating-star distributed loop — must produce identical
+    components (the fast path handles <= driver_threshold edges;
+    forcing threshold=0 exercises the loop on the same graph)."""
+    from name_match_latest_spark.operators.clustering import connected_components
+
+    rng = random.Random(31)
+    nodes = list(range(300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(350)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    fast = {r.node: r.component for r in connected_components(df).collect()}
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    want = union_find_components(
+        edges, {n for e in edges for n in e}
+    )
+    assert fast == want

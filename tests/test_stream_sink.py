@@ -32,8 +32,10 @@ def test_stream_sink_appends_exactly_once(spark, tmp_path):
     assert t.read(spark).count() == 10
     snaps = t.snapshots()
     assert len(snaps) >= 2  # multiple micro-batches, one commit each
-    batch_ids = [s.get("batch_id") for s in snaps]
-    assert batch_ids == sorted(batch_ids)
+    # snapshots() orders by id string (second-granularity timestamp +
+    # random suffix) — compare batch ids as a SET, not by that order
+    batch_ids = sorted(s.get("batch_id") for s in snaps)
+    assert batch_ids == list(range(len(snaps)))
 
 
 def test_append_is_idempotent_on_replay(spark, tmp_path):
