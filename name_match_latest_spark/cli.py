@@ -39,12 +39,39 @@ def _load_table(spark, path: str):
     from .operators.persons import apply_column_mapping, prepare_persons
     from .sources.csv_source import load_persons_csv
 
-    if path.endswith(".csv"):
+    if path.startswith("jdbc:"):
+        df = _load_jdbc(spark, path)
+    elif path.endswith(".csv"):
         df = load_persons_csv(spark, path)
     else:
         df = spark.read.parquet(path)
     # missing optional person columns (hh_id, geo codes) become NULLs
     return prepare_persons(apply_column_mapping(df, {}))
+
+
+def _load_jdbc(spark, url: str):
+    """Route a ``jdbc:...?table=T&user=U&password=P`` arg through the
+    partitioned JDBC source.  `table` is required; `user`/`password`
+    default to empty (e.g. socket auth); remaining query params are
+    passed through to the driver untouched."""
+    from urllib.parse import parse_qs, urlsplit
+
+    from .sources.jdbc import read_person_table_jdbc
+
+    parts = urlsplit(url[len("jdbc:"):])
+    qs = parse_qs(parts.query)
+    table = (qs.pop("table", [None]) or [None])[0]
+    if not table:
+        raise SystemExit(
+            f"JDBC table arg needs ?table=<name>: {url!r}"
+        )
+    user = (qs.pop("user", [""]) or [""])[0]
+    password = (qs.pop("password", [""]) or [""])[0]
+    passthrough = "&".join(f"{k}={v[0]}" for k, v in qs.items())
+    base = f"jdbc:{parts.scheme}://{parts.netloc}{parts.path}"
+    if passthrough:
+        base += "?" + passthrough
+    return read_person_table_jdbc(spark, base, table, user, password)
 
 
 def run(argv: list[str] | None = None) -> int:
@@ -55,8 +82,14 @@ def run(argv: list[str] | None = None) -> int:
         print(f"note: GPU flags {ignored} have no effect (Spark owns the physical layer)")
 
     p = argparse.ArgumentParser(prog="name_match_latest_spark")
-    p.add_argument("table1", help="parquet dir or .csv file (match source)")
-    p.add_argument("table2", help="parquet dir or .csv file (match target)")
+    p.add_argument(
+        "table1",
+        help="parquet dir, .csv file, or jdbc:...?table=T&user=U&password=P (match source)",
+    )
+    p.add_argument(
+        "table2",
+        help="parquet dir, .csv file, or jdbc:...?table=T&user=U&password=P (match target)",
+    )
     p.add_argument("algo", help="1|2|3|4|5|6|7|cascade")
     p.add_argument("out_path")
     p.add_argument("--format", choices=["csv", "parquet"], default="csv")
@@ -88,15 +121,19 @@ def run(argv: list[str] | None = None) -> int:
     from .sources.sinks import write_households_csv, write_matches_csv
 
     def _write(df, household: bool = False) -> int:
+        # count the WRITTEN output, never df.count() — re-counting the
+        # unpersisted result would re-execute the entire match lineage
+        # a second time (parquet counts come from footer metadata;
+        # header=True handles Spark's per-part-file CSV headers)
         if args.format == "parquet":
             order = ["uuid", "hh_id"] if household else ["t1_id", "t2_id"]
             df.orderBy(*order).write.mode("overwrite").parquet(args.out_path)
-        elif household:
+            return spark.read.parquet(args.out_path).count()
+        if household:
             write_households_csv(df, args.out_path)
         else:
             write_matches_csv(df, args.out_path, fuzzy_threshold=args.threshold)
-        n = df.count()
-        return n
+        return spark.read.option("header", True).csv(args.out_path).count()
 
     algo = args.algo.lower()
     swap = args.allow_birthdate_swap

@@ -757,7 +757,12 @@ def _dedup_minhash_lsh(spark, sf_dir):
     from .operators.dedup import minhash_lsh_candidates
 
     register_views(spark, sf_dir)
-    return minhash_lsh_candidates(spark.table("documents"), k=8, bands=4)
+    # max_bucket=None pins the exact uncapped metric the oracle SQL
+    # computes (the engine default is "auto"; the capped path is
+    # oracle-checked separately as dedup_minhash_guarded)
+    return minhash_lsh_candidates(
+        spark.table("documents"), k=8, bands=4, max_bucket=None
+    )
 
 
 # --- documents: text analysis ------------------------------------------------

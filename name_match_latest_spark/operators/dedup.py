@@ -59,10 +59,15 @@ def shingles_df(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # Docs with fewer than n tokens have no shingles; an unguarded
+    # sequence(1, size-(n-1)) DESCENDS to [1, 0] there (Spark's default
+    # step is -1 when start > stop) and slice(toks, 0, n) raises —
+    # guard to an empty array so short docs emit no rows, matching the
+    # DuckDB oracle's range(1, 1) = [].
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return docs.select(
         F.col(id_col), F.explode(F.array_distinct(sh)).alias("tok")
     )
@@ -103,11 +108,14 @@ def token_jaccard_pairs(
     pass ``max_df=None`` explicitly for the exact unfiltered metric
     (safe only on small corpora).
     """
+    n_docs: int | None = None
     if max_df == "auto":
-        max_df = 0.5 if docs.count() >= AUTO_GUARD_MIN_DOCS else None
+        n_docs = docs.count()
+        max_df = 0.5 if n_docs >= AUTO_GUARD_MIN_DOCS else None
     toks = tokens_df(docs)
     if max_df is not None:
-        n_docs = docs.count()
+        if n_docs is None:
+            n_docs = docs.count()
         frequent = (
             toks.groupBy("tok")
             .count()
@@ -170,11 +178,13 @@ def _shingle_array(text_col: Column, n: int) -> Column:
     toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
     if n <= 1:
         return F.array_distinct(toks)
+    # same short-doc guard as shingles_df: sequence(1, size-(n-1))
+    # descends to [1, 0] when size < n and slice(toks, 0, n) raises
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
 
 
@@ -292,12 +302,20 @@ def minhash_bands(
     ).select("doc_id", F.col("_b.band_id").alias("band_id"), F.col("_b.band_hash").alias("band_hash"))
 
 
+#: corpora at or above this size get the LSH bucket cap by default —
+#: mirrors AUTO_GUARD_MIN_DOCS for token_jaccard (round-2 finding: an
+#: uncapped default lets 10k byte-identical crawl pages produce
+#: 10k²×bands candidate pairs that exact_dedup already covers)
+AUTO_BUCKET_MIN_DOCS = 2000
+AUTO_BUCKET_CAP = 100
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     k: int = 8,
     bands: int = 4,
     shingle: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup candidate pairs sharing >=1 LSH band.  Candidates come
     from an equi-join on (band_id, band_hash) — the document count per
@@ -309,8 +327,14 @@ def minhash_lsh_candidates(
     10k² pairs × 4, for dups that exact_dedup already catches with one
     groupBy.  Buckets above the cap are dropped (run ``exact_dedup``
     first, then LSH on the distinct survivors — the standard split of
-    labor).  None = uncapped (the oracle query runs uncapped).
+    labor).  The default "auto" applies AUTO_BUCKET_CAP once the corpus
+    exceeds AUTO_BUCKET_MIN_DOCS; pass ``max_bucket=None`` explicitly
+    for the uncapped metric (the small-corpus oracle query does).
     """
+    if max_bucket == "auto":
+        max_bucket = (
+            AUTO_BUCKET_CAP if docs.count() >= AUTO_BUCKET_MIN_DOCS else None
+        )
     band = minhash_bands(docs, k, bands, shingle)
     if max_bucket is not None:
         oversized = (

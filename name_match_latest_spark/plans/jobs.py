@@ -38,11 +38,21 @@ class JobHandle:
 
     def __post_init__(self) -> None:
         # all actions issued by this thread after this point belong to
-        # the group and are cancellable as a unit
+        # the group and are cancellable as a unit.  setJobGroup is
+        # THREAD-LOCAL: the handle must be created on the same thread
+        # that executes the job's Spark actions, or cancel/progress
+        # will scope to the wrong work — use attach() from a worker
+        # thread.
+        self.attach()
+        self._paused.set()  # set == running
+
+    def attach(self) -> None:
+        """(Re)bind the CURRENT thread's actions to this job group —
+        call at the top of any worker thread running this job's
+        actions (job-group assignment is a thread-local)."""
         self.spark.sparkContext.setJobGroup(
             self.job_id, self.description or self.job_id, interruptOnCancel=True
         )
-        self._paused.set()  # set == running
 
     # --- cancel (run_service CancelToken + JobHandle.cancel) -------------
 
@@ -81,11 +91,19 @@ class JobHandle:
         return time.time() - self.started_at
 
     def progress(self) -> dict:
-        """Live stage progress for this group: active/completed task
-        counts -> fraction + naive ETA (the reference's per-chunk ETA,
-        mod.rs progress callbacks)."""
+        """Live stage progress for THIS group only: the group's active
+        jobs' stages -> task fraction + naive ETA (the reference's
+        per-chunk ETA, mod.rs progress callbacks).  Stages are resolved
+        via getJobIdsForGroup(job_id) -> job infos -> stage ids, so
+        concurrent jobs from other handles/sessions never pollute the
+        counts."""
         st = self.spark.sparkContext.statusTracker()
-        active = st.getActiveStageIds()
+        stage_ids: set[int] = set()
+        for jid in st.getJobIdsForGroup(self.job_id):
+            jinfo = st.getJobInfo(jid)
+            if jinfo is not None and jinfo.status == "RUNNING":
+                stage_ids.update(jinfo.stageIds)
+        active = [sid for sid in st.getActiveStageIds() if sid in stage_ids]
         total = done = 0
         for sid in active:
             info = st.getStageInfo(sid)

@@ -130,22 +130,24 @@ def run_resumable(
             groups_run += 1
             if fail_after_group is not None and groups_run > fail_after_group:
                 raise RuntimeError(f"injected failure after group {g}")
+
+        # final clustering over all committed groups' edges — still
+        # inside the persist scope: the node set reads `prepared`, and
+        # unpersisting first would re-execute the extraction lineage
+        edges_all = spark.read.parquet(os.path.join(out_dir, "edges"))
+        nodes = prepared.select("id", "url", "mention_idx")
+        cc = connected_components(
+            edges_all.select("src", "dst").unionByName(
+                nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+            )
+        )
+        clusters = nodes.join(cc, nodes.id == cc.node, "left").select(
+            "id", "url", "mention_idx", F.coalesce("component", "id").alias("cluster_id")
+        )
+        cpath = os.path.join(out_dir, "clusters")
+        clusters.orderBy("id").write.mode("overwrite").parquet(cpath)
     finally:
         prepared.unpersist()
-
-    # final clustering over all committed groups' edges
-    edges_all = spark.read.parquet(os.path.join(out_dir, "edges"))
-    nodes = prepared.select("id", "url", "mention_idx")
-    cc = connected_components(
-        edges_all.select("src", "dst").unionByName(
-            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
-        )
-    )
-    clusters = nodes.join(cc, nodes.id == cc.node, "left").select(
-        "id", "url", "mention_idx", F.coalesce("component", "id").alias("cluster_id")
-    )
-    cpath = os.path.join(out_dir, "clusters")
-    clusters.orderBy("id").write.mode("overwrite").parquet(cpath)
     recs = audit.records()
     return {
         "groups": len(recs),

@@ -218,9 +218,17 @@ def staged_import(
     3. abort (stage left for inspection/GC) if invalid rows and not
        ``allow_invalid``
     4. duplicate_behavior == "skip": keep the first occurrence per key
-       (file order), and in append mode drop keys already in the table
-    5. commit: append = previous snapshot ∪ staged; replace = staged —
-       ONE atomic HEAD flip either way
+       (file order), and in append mode drop keys already in the table;
+       "update": LAST occurrence per key wins (INSERT .. ON DUPLICATE
+       KEY UPDATE row order, staging.rs) and replaces existing rows
+       with the same key
+    5. commit — ONE atomic HEAD flip either way:
+       * append (keep/skip): O(batch) ``SnapshotTable.append`` — only
+         the staged rows are written; parent files are referenced
+         unchanged in the manifest (never rewritten)
+       * replace, or append+update: full ``commit`` (update is
+         copy-on-write — surviving existing rows must be rewritten,
+         exactly Iceberg's copy-on-write MERGE)
     6. drop the staging dir on success
     """
     policy = policy or ImportPolicy()
@@ -243,6 +251,7 @@ def staged_import(
         }
 
     final = staged
+    rewrite_existing: DataFrame | None = None
     if policy.duplicate_behavior == "skip":
         numbered = staged.withColumn("_k", _dup_key_col(policy))
         first = numbered.groupBy("_k").agg(F.min("_row_number").alias("_row_number"))
@@ -257,11 +266,31 @@ def staged_import(
                 "left_anti",
             )
             final = keep.drop("_k")
+    elif policy.duplicate_behavior == "update":
+        # last occurrence per key wins within the batch (row-order
+        # INSERT .. ON DUPLICATE KEY UPDATE semantics), and staged rows
+        # replace existing rows carrying the same key
+        numbered = staged.withColumn("_k", _dup_key_col(policy))
+        last = numbered.groupBy("_k").agg(F.max("_row_number").alias("_row_number"))
+        final = numbered.join(last, ["_k", "_row_number"]).drop("_k")
+        if existing is not None:
+            staged_keys = final.select(_dup_key_col(policy).alias("_k")).distinct()
+            rewrite_existing = (
+                existing.withColumn("_k", _dup_key_col(policy))
+                .join(staged_keys, "_k", "left_anti")
+                .drop("_k")
+            )
 
     final = final.drop("_row_number")
-    if existing is not None:
-        final = existing.unionByName(final)
-    snap = table.commit(final, parent=head)
+    if existing is not None and rewrite_existing is None:
+        # O(batch) append: parent data files are referenced in the new
+        # manifest, never rewritten (staged INSERT + atomic RENAME in
+        # the reference never touches existing rows either)
+        snap = table.append(final)
+    else:
+        if rewrite_existing is not None:
+            final = rewrite_existing.unionByName(final)
+        snap = table.commit(final, parent=head)
     shutil.rmtree(stage_dir, ignore_errors=True)
     return {
         "status": "committed",

@@ -67,7 +67,41 @@ class SnapshotTable:
         os.replace(head_tmp, os.path.join(self.path, "HEAD"))
         return snap_id
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> str | None:
+    def _watermark_path(self, query_id: str) -> str:
+        safe = "".join(c for c in query_id if c.isalnum() or c in "-_")[:80]
+        return os.path.join(self.path, "commits", f"{safe or 'default'}.wm")
+
+    def last_batch_id(self, query_id: str = "default") -> int | None:
+        """High-watermark of committed streaming batch ids for one
+        query/checkpoint lineage (None if that query never committed).
+
+        Fast path: the sidecar ``commits/<query_id>.wm`` file.  The
+        snapshot chain is ALSO consulted for the most recent manifest
+        stamped with this query_id — that closes the crash window
+        between the HEAD flip and the watermark write (the manifest is
+        durable before HEAD flips, so a replayed batch is always
+        detected)."""
+        wm: int | None = None
+        try:
+            with open(self._watermark_path(query_id)) as f:
+                wm = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        snap = self.current_snapshot()
+        while snap is not None:
+            m = self._manifest(snap)
+            if m.get("query_id") == query_id and m.get("batch_id") is not None:
+                chain = int(m["batch_id"])
+                return chain if wm is None else max(wm, chain)
+            snap = m.get("parent")
+        return wm
+
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        query_id: str = "default",
+    ) -> str | None:
         """Iceberg-style APPEND commit: writes ONLY the new rows' files
         and lists parent files + new files in the manifest — no rewrite
         of existing data (commit() rewrites; append() is O(batch)).
@@ -75,14 +109,24 @@ class SnapshotTable:
         ``batch_id`` makes the commit IDEMPOTENT for streaming
         foreachBatch sinks: Structured Streaming replays a failed
         micro-batch with the same id, and a batch at or below the last
-        committed id is skipped (returns None) — the standard
-        transactional-sink recipe, here backed by the atomic HEAD flip.
+        committed id FOR THE SAME ``query_id`` is skipped (returns
+        None) — the standard transactional-sink recipe, backed by the
+        atomic HEAD flip.
+
+        The watermark is a per-query sidecar file
+        (``commits/<query_id>.wm``), NOT the head manifest: batch ids
+        are only meaningful within one checkpoint lineage.  A restarted
+        stream with a FRESH checkpoint restarts ids at 0 — pass its new
+        query/run id so batch 0 commits instead of being silently
+        dropped — and interleaved ``commit()`` / batch-less ``append()``
+        calls never reset the dedup state (both were real data-loss /
+        duplication bugs when the check lived on the head snapshot).
         """
-        parent = self.current_snapshot()
-        if batch_id is not None and parent is not None:
-            last = self._manifest(parent).get("batch_id")
+        if batch_id is not None:
+            last = self.last_batch_id(query_id)
             if last is not None and batch_id <= last:
                 return None  # replayed batch — already committed
+        parent = self.current_snapshot()
         snap_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
         data_dir = os.path.join(self.path, "data", snap_id)
         df.write.mode("errorifexists").parquet(data_dir)
@@ -98,6 +142,7 @@ class SnapshotTable:
             "committed_at": time.time(),
             "file_paths": parent_paths + new_files,
             "batch_id": batch_id,
+            "query_id": query_id if batch_id is not None else None,
         }
         mpath = os.path.join(self.path, "snapshots", f"{snap_id}.json")
         tmp = mpath + ".tmp"
@@ -112,6 +157,15 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(head_tmp, os.path.join(self.path, "HEAD"))
+        if batch_id is not None:
+            wm = self._watermark_path(query_id)
+            os.makedirs(os.path.dirname(wm), exist_ok=True)
+            wm_tmp = wm + ".tmp"
+            with open(wm_tmp, "w") as f:
+                f.write(str(batch_id))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(wm_tmp, wm)
         return snap_id
 
     # --- read side ----------------------------------------------------------

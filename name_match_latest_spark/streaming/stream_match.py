@@ -46,10 +46,20 @@ def stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: str):
 
     Returns the StreamingQuery; caller picks the trigger via
     ``.trigger(...)`` conventions by stopping/awaiting it.
+
+    Batch ids are only meaningful per checkpoint lineage, so the
+    idempotence key is (checkpoint dir, batch_id): a rerun FROM THE
+    SAME checkpoint replays the same ids and is deduped; a fresh
+    checkpoint is a new lineage whose batch 0 must commit.
     """
+    import hashlib
+
+    lineage = hashlib.md5(
+        checkpoint_dir.rstrip("/").encode("utf-8")
+    ).hexdigest()[:16]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        table.append(batch_df, batch_id=batch_id)
+        table.append(batch_df, batch_id=batch_id, query_id=lineage)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -89,3 +89,53 @@ def test_cli_unknown_algo_errors(tables):
     t1, t2, root = tables
     res = _run_cli([t1, t2, "9", os.path.join(root, "out_bad")])
     assert res.returncode != 0
+
+
+def test_cli_printed_count_equals_written_rows(tables):
+    """The printed match count is the WRITTEN row count (round-3 fix:
+    df.count() on the unpersisted result used to re-execute the whole
+    match lineage a second time AND ignored the threshold filter)."""
+    t1, t2, root = tables
+    out = os.path.join(root, "out_cnt")
+    res = _run_cli([t1, t2, "1", out, "--threshold", "0.0"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    printed = int(res.stdout.split("matches=")[1].split()[0])
+    assert printed == len(_read_csv_rows(out))
+
+
+def test_cli_jdbc_arg_requires_table_param(tables):
+    """A jdbc: table arg is routed (not fed to spark.read.parquet);
+    missing ?table= is a clean argparse-style error."""
+    t1, _, root = tables
+    res = _run_cli(
+        ["jdbc:mysql://example.invalid:3306/db", t1, "1", os.path.join(root, "out_j")]
+    )
+    assert res.returncode != 0
+    assert "table=" in (res.stderr + res.stdout)
+
+
+def test_cli_jdbc_url_parsing(monkeypatch):
+    """URL splitter: table/user/password extracted, other params pass
+    through to the JDBC driver untouched (no live MySQL in sandbox —
+    the source call is captured, not executed)."""
+    import name_match_latest_spark.cli as cli
+
+    captured = {}
+
+    def fake_read(spark, url, table, user, password, **kw):
+        captured.update(url=url, table=table, user=user, password=password)
+        return "DF"
+
+    monkeypatch.setattr(
+        "name_match_latest_spark.sources.jdbc.read_person_table_jdbc", fake_read
+    )
+    out = cli._load_jdbc(
+        None, "jdbc:mysql://h:3306/db?table=persons&user=u&password=p&useSSL=false"
+    )
+    assert out == "DF"
+    assert captured == {
+        "url": "jdbc:mysql://h:3306/db?useSSL=false",
+        "table": "persons",
+        "user": "u",
+        "password": "p",
+    }

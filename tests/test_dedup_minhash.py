@@ -95,6 +95,68 @@ def test_max_bucket_guard_drops_dup_crowds(spark):
     assert len(from_planted & planted) >= 9
 
 
+def test_short_docs_do_not_crash_shingling(spark):
+    """Docs with fewer than `shingle` tokens must emit NO rows, not
+    crash: an unguarded sequence(1, size-(n-1)) descends to [1, 0] and
+    slice(toks, 0, n) raises INVALID_PARAMETER_VALUE.START (round-3
+    fix; the DuckDB oracle's range(1,1)=[] already emitted nothing)."""
+    from name_match_latest_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_wide,
+        shingles_df,
+    )
+
+    rows = _corpus() + [
+        ("short1", "one", "en"),
+        ("short2", "two words", "en"),
+        ("short0", "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+
+    # batch (explode+groupBy) path
+    sigs = minhash_signatures_wide(docs, k=8).collect()
+    ids = {r.doc_id for r in sigs}
+    assert not ids & {"short0", "short1", "short2"}
+    assert len(ids) == len(_corpus())
+
+    # stream-safe (per-row HOF) path
+    sigs_s = minhash_signatures_wide(docs, k=8, stream_safe=True).collect()
+    assert {r.doc_id for r in sigs_s} == ids
+
+    # shingles_df directly
+    sh = shingles_df(docs, n=3).filter("doc_id like 'short%'").count()
+    assert sh == 0
+
+    # end-to-end candidates run unharmed
+    got = {
+        tuple(sorted((r.d1, r.d2)))
+        for r in minhash_lsh_candidates(docs, k=8, bands=4, max_bucket=None).collect()
+    }
+    planted = {tuple(sorted((f"base{j:02d}", f"dup{j:02d}"))) for j in range(N_DUPS)}
+    assert len(got & planted) >= 9
+
+
+def test_max_bucket_auto_default(spark, monkeypatch):
+    """The DEFAULT max_bucket='auto' must engage the cap once the
+    corpus crosses AUTO_BUCKET_MIN_DOCS (round-2 finding: an uncapped
+    default lets dup crowds produce quadratic candidates)."""
+    from name_match_latest_spark.operators import dedup
+
+    crowd = [(f"copy{i:02d}", "same exact text repeated here for everyone", "en")
+             for i in range(30)]
+    docs = spark.createDataFrame(_corpus() + crowd, SCHEMA)
+    crowd_pairs = 30 * 29 // 2
+
+    # small corpus: auto == uncapped (the oracle regime)
+    assert dedup.minhash_lsh_candidates(docs, k=8, bands=4).count() >= crowd_pairs
+
+    # at scale: auto == capped
+    monkeypatch.setattr(dedup, "AUTO_BUCKET_MIN_DOCS", 50)
+    monkeypatch.setattr(dedup, "AUTO_BUCKET_CAP", 10)
+    auto_capped = dedup.minhash_lsh_candidates(docs, k=8, bands=4).count()
+    assert auto_capped < crowd_pairs
+
+
 def test_stream_safe_plan_equals_batch_plan(spark, docs):
     """The per-row (streaming-legal) signature plan and the
     explode+groupBy (batch) plan must produce identical values."""

@@ -147,6 +147,61 @@ def test_replace_mode_swaps_table(spark, tmp_path):
     assert [r.id for r in t.read(spark).collect()] == [30]
 
 
+def test_append_mode_never_rewrites_existing_files(spark, tmp_path):
+    """Append-mode staged import must be an O(batch) manifest append:
+    the new snapshot references ALL parent data files UNCHANGED and
+    adds only the staged rows' files (round-3 fix: it used to
+    union+commit, rewriting the whole table every import)."""
+    from name_match_latest_spark.sources.staging import staged_import
+    from name_match_latest_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    r1 = staged_import(spark, _df(spark, GOOD), t, job_id="job1")
+    parent_files = set(t._file_paths(r1["snapshot_id"]))
+    parent_mtimes = {p: os.path.getmtime(p) for p in parent_files}
+
+    more = [(10, "u10", "nora", "aquino", _d(1970, 7, 8))]
+    r2 = staged_import(spark, _df(spark, more), t, job_id="job2")
+    new_files = set(t._file_paths(r2["snapshot_id"]))
+    # superset: every parent file is still referenced, byte-untouched
+    assert parent_files < new_files
+    assert all(os.path.getmtime(p) == parent_mtimes[p] for p in parent_files)
+    # and only the staged rows landed in the new files
+    added = sorted(new_files - parent_files)
+    assert spark.read.parquet(*added).count() == 1
+    assert t.read(spark).count() == 4
+
+
+def test_duplicate_update_policy(spark, tmp_path):
+    """duplicate_behavior='update': staged rows REPLACE existing rows
+    with the same key; within the batch the LAST occurrence wins
+    (INSERT .. ON DUPLICATE KEY UPDATE row order, staging.rs)."""
+    from name_match_latest_spark.sources.staging import ImportPolicy, staged_import
+    from name_match_latest_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    staged_import(spark, _df(spark, GOOD), t, job_id="job1")
+
+    rows = [
+        (1, "z1", "ana-v2", "santos", _d(1990, 1, 2)),   # updates id 1
+        (1, "z2", "ana-v3", "santos", _d(1990, 1, 2)),   # later row wins
+        (40, "u40", "lea", "salonga", _d(1971, 2, 22)),  # new key
+    ]
+    r = staged_import(
+        spark,
+        _df(spark, rows),
+        t,
+        job_id="job2",
+        policy=ImportPolicy(duplicate_behavior="update"),
+    )
+    assert r["status"] == "committed"
+    out = {row.id: (row.uuid, row.first_name) for row in t.read(spark).collect()}
+    assert len(out) == 4  # no duplicate keys committed
+    assert out[1] == ("z2", "ana-v3")  # replaced, last occurrence
+    assert out[2][0] == "u2" and out[3][0] == "u3"  # untouched rows survive
+    assert out[40] == ("u40", "lea")
+
+
 def test_orphan_stage_gc(spark, tmp_path):
     from name_match_latest_spark.sources.staging import (
         drop_orphan_stages,
