@@ -1565,15 +1565,63 @@ def _embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
-@q("web_cluster_pages")
+def _web_cluster_oracle() -> str | None:
+    """End-to-end oracle for the north-rule pipeline, starting one
+    stage downstream of extraction: fixtures/web_mentions.parquet holds
+    the extracted mention rows for the canonical 2000-page seed-42
+    crawl (scripts/gen_web_mentions.py), and this SQL replays blocking
+    (soundex4(last) x lang x domain + birthdate equality + id order),
+    the full scoring cascade (dmeta via the string-keyed side map,
+    fixtures/web_dmeta_map.parquet) and min-label connected components
+    by recursive closure.  The SPARK query runs the REAL extraction
+    from generated pages — its rows hash-equal these only if
+    extraction still lands on exactly the fixture mentions, so the
+    extraction stage is regression-gated too (plus byte-exact pytest
+    fixtures).  Mention names are lowercase ASCII, so normalize_simple
+    is identity and the simple full name is first || ' ' || last."""
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures")
+    mpath = os.path.abspath(os.path.join(fx, "web_mentions.parquet"))
+    dpath = os.path.abspath(os.path.join(fx, "web_dmeta_map.parquet"))
+    if not (os.path.exists(mpath) and os.path.exists(dpath)):
+        return None  # running without fixtures: degrade to rows-only
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT id, url, mention_idx, first_name, last_name, birthdate, lang, domain,
+         first_name || ' ' || last_name AS f,
+         {_sx_sql('last_name')} AS sx
+  FROM read_parquet('{mpath}')),
+wdm AS (SELECT s, code FROM read_parquet('{dpath}')),
+m2 AS (SELECT m.*, coalesce(wdm.code, '') AS dmc FROM m LEFT JOIN wdm ON wdm.s = m.f),
+cand AS (
+  SELECT a.id AS t1_id, b.id AS t2_id,
+         a.f AS f1, b.f AS f2,
+         a.dmc AS dm1, b.dmc AS dm2,
+         a.first_name AS sf1, b.first_name AS sf2,
+         a.last_name AS sl1, b.last_name AS sl2
+  FROM m2 a JOIN m2 b
+    ON a.sx = b.sx AND a.lang = b.lang AND a.domain = b.domain
+   AND a.birthdate = b.birthdate AND a.id < b.id),
+{_score_metrics_ctes('cand', no_middle=True)},
+mpairs AS (SELECT t1_id, t2_id FROM cls WHERE case_label IS NOT NULL),
+edges AS (SELECT t1_id AS s, t2_id AS d FROM mpairs UNION SELECT t2_id, t1_id FROM mpairs),
+reach(node, r) AS (
+  SELECT id, id FROM m
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT m.id, m.url, m.mention_idx, comp.component AS cluster_id
+FROM m JOIN comp ON comp.node = m.id
+"""
+
+
+@q("web_cluster_pages", _web_cluster_oracle())
 def _web_cluster_pages(spark, sf_dir):
     """North-rule pipeline end-to-end on a deterministic synthetic
-    crawl (pages -> extract -> block -> score -> cluster).  Rows-only:
-    the input pages are generated by Python (sources/web.py), so DuckDB
-    cannot replay the extraction stage from the registered views.  Every
-    pipeline STAGE is oracle-verified elsewhere (blocking/scoring via
-    algo*/cascade queries, clustering via entity_clusters' recursive-CTE
-    oracle) and extraction has byte-exact pytest fixtures."""
+    crawl (pages -> extract -> block -> score -> cluster).  The DuckDB
+    oracle replays everything downstream of extraction from the
+    committed mention fixture (see _web_cluster_oracle); extraction is
+    regression-gated by the id hash equality + byte-exact pytest
+    fixtures."""
     from .plans.web_pipeline import cluster_pages
     from .sources.web import generate_webpages
 
