@@ -92,7 +92,7 @@ def run(argv: list[str] | None = None) -> int:
     )
     p.add_argument("algo", help="1|2|3|4|5|6|7|cascade")
     p.add_argument("out_path")
-    p.add_argument("--format", choices=["csv", "parquet"], default="csv")
+    p.add_argument("--format", choices=["csv", "parquet", "xlsx"], default="csv")
     p.add_argument("--threshold", type=float, default=0.95)
     p.add_argument("--allow-birthdate-swap", action="store_true")
     p.add_argument("--direct-fuzzy-normalization", action="store_true")
@@ -129,6 +129,18 @@ def run(argv: list[str] | None = None) -> int:
             order = ["uuid", "hh_id"] if household else ["t1_id", "t2_id"]
             df.orderBy(*order).write.mode("overwrite").parquet(args.out_path)
             return spark.read.parquet(args.out_path).count()
+        if args.format == "xlsx":
+            from pyspark.sql import functions as F
+
+            from .sources.xlsx import write_matches_xlsx
+
+            order = ["uuid", "hh_id"] if household else ["t1_id", "t2_id"]
+            out = df if household else df.filter(
+                F.col("confidence") >= args.threshold
+            )
+            return write_matches_xlsx(out.orderBy(*order), args.out_path)[
+                "rows_written"
+            ]
         if household:
             write_households_csv(df, args.out_path)
         else:

@@ -114,6 +114,22 @@ def test_cli_jdbc_arg_requires_table_param(tables):
     assert "table=" in (res.stderr + res.stdout)
 
 
+def test_cli_xlsx_format(tables):
+    """--format xlsx writes a readable OOXML workbook (reference's
+    default report format, xlsx_export.rs)."""
+    import zipfile
+
+    t1, t2, root = tables
+    out = os.path.join(root, "out.xlsx")
+    res = _run_cli([t1, t2, "1", out, "--format", "xlsx", "--threshold", "0.0"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    printed = int(res.stdout.split("matches=")[1].split()[0])
+    with zipfile.ZipFile(out) as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
+        body = z.read("xl/worksheets/sheet1.xml").decode()
+    assert body.count("<row ") == printed + 1  # header + data rows
+
+
 def test_cli_jdbc_url_parsing(monkeypatch):
     """URL splitter: table/user/password extracted, other params pass
     through to the JDBC driver untouched (no live MySQL in sandbox —
