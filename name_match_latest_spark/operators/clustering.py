@@ -117,9 +117,18 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     driver_threshold: int = 1_000_000,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component id = minimum node id in the component.
+
+    ``nodes`` (single-column DataFrame) is the universe of nodes when
+    the caller already has it — isolated nodes get component = self.
+    Passing it is the cheap path: deriving nodes from ``edges`` costs
+    two extra executions of the (often expensive — a full match join)
+    edge lineage, and callers that only have a node table otherwise
+    have to union per-node self-edges into ``edges``, inflating the
+    canonicalizing distinct for no information.
 
     Edge sets at or below ``driver_threshold`` take a driver-side
     union-find fast path: the distributed loop costs O(log n) rounds of
@@ -129,11 +138,14 @@ def connected_components(
     MB on the driver.  Above the threshold — the 100 TB regime — the
     alternating large-star/small-star loop runs as before."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
     n_edges = e.count()
     if n_edges == 0:

@@ -74,11 +74,10 @@ def cluster_pages(pages: DataFrame) -> DataFrame:
         F.col("t1_id").alias("src"), F.col("t2_id").alias("dst")
     )
     nodes = prepared.select("id", "url", "mention_idx")
-    cc = connected_components(
-        edges.unionByName(
-            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
-        )
-    )
+    # node universe passed explicitly: self-edge unions would inflate
+    # the canonicalizing distinct, and deriving nodes from the edge
+    # lineage would re-execute the match join twice more
+    cc = connected_components(edges, nodes=nodes.select("id"))
     return nodes.join(cc, nodes.id == cc.node, "left").select(
         "id", "url", "mention_idx",
         F.coalesce("component", "id").alias("cluster_id"),
@@ -137,9 +136,7 @@ def run_resumable(
         edges_all = spark.read.parquet(os.path.join(out_dir, "edges"))
         nodes = prepared.select("id", "url", "mention_idx")
         cc = connected_components(
-            edges_all.select("src", "dst").unionByName(
-                nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
-            )
+            edges_all.select("src", "dst"), nodes=nodes.select("id")
         )
         clusters = nodes.join(cc, nodes.id == cc.node, "left").select(
             "id", "url", "mention_idx", F.coalesce("component", "id").alias("cluster_id")

@@ -62,6 +62,26 @@ def test_self_loops_and_dups(spark):
     assert _spark_cc(spark, edges) == union_find_components(edges, present)
 
 
+def test_explicit_node_universe_covers_isolated_nodes(spark):
+    """Passing nodes= must assign component=self to isolated nodes
+    (no self-edge union needed) on BOTH physical paths, and must not
+    change components of connected nodes."""
+    from name_match_latest_spark.operators.clustering import connected_components
+
+    edges = [(3, 7), (7, 12)]
+    node_universe = [3, 7, 12, 50, 99]  # 50, 99 isolated
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    ndf = spark.createDataFrame([(n,) for n in node_universe], ["id"])
+
+    want = {3: 3, 7: 3, 12: 3, 50: 50, 99: 99}
+    for thr in (1_000_000, 0):
+        got = {
+            r.node: r.component
+            for r in connected_components(edf, nodes=ndf, driver_threshold=thr).collect()
+        }
+        assert got == want, f"threshold={thr}"
+
+
 def test_distributed_loop_equals_driver_fast_path(spark):
     """Both physical paths — driver union-find (small graphs) and the
     alternating-star distributed loop — must produce identical
