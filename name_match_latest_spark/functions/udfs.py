@@ -33,17 +33,45 @@ __all__ = [
 ]
 
 
+#: process-level memo bound: name columns are highly repetitive (a 5M-row
+#: national registry has ~100k distinct names), so caches persist across
+#: Arrow batches in each reused python worker; cleared wholesale at the
+#: bound to keep worker RSS flat on adversarial high-cardinality input
+_CACHE_MAX = 1 << 20
+
+
+def _bounded(cache: dict) -> dict:
+    if len(cache) > _CACHE_MAX:
+        cache.clear()
+    return cache
+
+
+_norm_cache: dict[str, str] = {}
+
+
 @pandas_udf(StringType())
 def normalize_text_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: normalize_text(x) if x is not None else None)
+    cache = _bounded(_norm_cache)
+
+    def norm(x: str | None):
+        if x is None:
+            return None
+        hit = cache.get(x)
+        if hit is None:
+            hit = cache[x] = normalize_text(x)
+        return hit
+
+    return s.map(norm)
+
+
+_dmeta_cache: dict[str, str] = {}
 
 
 @pandas_udf(StringType())
 def dmeta_udf(simple: pd.Series) -> pd.Series:
     """Primary Double Metaphone code of a ``normalize_simple`` string
     ('' when the phonetic normalization is empty) — mod.rs:429-438."""
-    # memoize within the batch: name columns are highly repetitive
-    cache: dict[str, str] = {}
+    cache = _bounded(_dmeta_cache)
 
     def code(x: str | None) -> str:
         if x is None:
@@ -66,12 +94,16 @@ def _dmeta_from_names(parts: tuple) -> str:
     return dmeta_code_from_simple(simple)
 
 
+_dmeta_full_cache: dict[tuple, str] = {}
+_dmeta_no_mid_cache: dict[tuple, str] = {}
+
+
 @pandas_udf(StringType())
 def dmeta_full_udf(first: pd.Series, mid: pd.Series, last: pd.Series) -> pd.Series:
     """dmeta(simple_full_name(first, mid, last)) straight from the raw
     name columns — lets ALL per-person UDFs live in one projection
     (single ArrowEval node, one Arrow round trip per batch)."""
-    cache: dict[tuple, str] = {}
+    cache = _bounded(_dmeta_full_cache)
     out = []
     for t in zip(first, mid, last):
         v = cache.get(t)
@@ -83,7 +115,7 @@ def dmeta_full_udf(first: pd.Series, mid: pd.Series, last: pd.Series) -> pd.Seri
 
 @pandas_udf(StringType())
 def dmeta_no_mid_udf(first: pd.Series, last: pd.Series) -> pd.Series:
-    cache: dict[tuple, str] = {}
+    cache = _bounded(_dmeta_no_mid_cache)
     out = []
     for t in zip(first, last):
         v = cache.get(t)
@@ -93,11 +125,14 @@ def dmeta_no_mid_udf(first: pd.Series, last: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+_jw_cache: dict[tuple[str, str], float] = {}
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """strsim-0.11 Jaro-Winkler over pair batches, with a per-batch
+    """strsim-0.11 Jaro-Winkler over pair batches, with a process-level
     memo (blocked candidate batches repeat the probe-side string)."""
-    cache: dict[tuple[str, str], float] = {}
+    cache = _bounded(_jw_cache)
     out = []
     for x, y in zip(a, b):
         if x is None or y is None:
