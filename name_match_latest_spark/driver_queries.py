@@ -1337,6 +1337,55 @@ def _ann_lsh(spark, sf_dir):
 
 
 @q(
+    "ann_ivf",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+ac AS (
+  SELECT e.vec_id, cent.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_COS.format(a='e.v', b='cent.cv')} DESC,
+                                     cent.centroid_id ASC) AS rnk
+  FROM e, cent),
+lists AS (SELECT vec_id, centroid_id FROM ac WHERE rnk = 1),
+probes AS (SELECT vec_id, centroid_id FROM ac WHERE rnk <= 2 AND vec_id < 5),
+j AS (
+  SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+         {_COS.format(a='c.v', b='q.v')} AS cosine
+  FROM probes p JOIN lists l USING (centroid_id)
+  JOIN e q ON q.vec_id = p.vec_id
+  JOIN e c ON c.vec_id = l.vec_id
+  WHERE l.vec_id <> p.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM j)
+SELECT query_id, neighbor_id, {_f6('cosine')} AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def _ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (the scale path alongside LSH): md5-sampled coarse
+    centroids -> single-list corpus assignment -> n_probe-list query
+    scan.  Deterministic centroids make the approximate output
+    exact-comparable in DuckDB."""
+    from .operators.annsearch import ivf_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=2
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@q(
     "households_opt6",
     None
     if _DM_CTE is None

@@ -23,6 +23,9 @@ __all__ = [
     "cosine_col",
     "cosine_topk",
     "embedding_near_dups",
+    "ivf_assignments",
+    "ivf_centroids",
+    "ivf_topk",
     "lsh_band_assignments",
     "lsh_bucket_assignments",
     "lsh_bucket_topk",
@@ -197,6 +200,98 @@ def embedding_near_dups(
         cand.withColumn("cosine", cosine_col(F.col("_v1"), F.col("_v2")))
         .filter(F.col("cosine") >= threshold)
         .select("d1", "d2", "cosine")
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, cvec): deterministic coarse centroids — the
+    ``n_centroids`` corpus vectors with the smallest md5(vec_id).
+    A reproducible random sample is the standard coarse-quantizer
+    bootstrap (k-means refinement is an optional offline step) and,
+    being md5-derived, it is exactly replayable by the SQL oracle.
+    At 10^12 rows pick n_centroids ~ sqrt(N) and persist the centroid
+    table; it stays broadcast-sized (sqrt(10^12) x dim x 8B ~ 0.5 GB
+    partitioned, or cap it and probe more lists)."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("centroid_id"),
+            _to_double(F.col(vec_col)).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(n_centroids)
+        .drop("_h")
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id): each vector's ``n_probe`` nearest
+    centroids by cosine (ties broken by centroid_id).  The centroid
+    table is broadcast, so assignment is one map-side pass over the
+    corpus — no shuffle; n_probe=1 builds the inverted lists, n_probe>1
+    is the query-side probe set."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("_v"))
+    scored = e.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", cosine_col(F.col("_v"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in ONE inverted
+    list each (their nearest coarse centroid); a query scans only its
+    ``n_probe`` nearest lists.  The list join is an equi-join on
+    centroid_id — a blocking key exactly like the person matcher's, so
+    work is bounded by list sizes, never O(N x Q).  Recall is tuned by
+    n_probe/n_centroids (the classic IVF trade)."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    lists = ivf_assignments(embeddings, cents, 1, id_col, vec_col)
+    probes = ivf_assignments(queries, cents, n_probe, id_col, vec_col)
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).join(lists.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).join(probes.withColumnRenamed("vec_id", "query_id"), "query_id")
+
+    cand = qside.join(corpus, "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cosine", cosine_col(F.col("_cvec"), F.col("_qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

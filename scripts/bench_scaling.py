@@ -39,8 +39,11 @@ from name_match_latest_spark.session import get_spark
 from name_match_latest_spark.plans.web_pipeline import cluster_pages
 
 cpus, n_pages, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+# 4 shuffle tasks per core: a single wave (partitions == cores) is
+# gated by its slowest partition; 4x gives packing slack, AQE
+# coalesces any excess
 spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus,
-                  shuffle_partitions=max(cpus, 8))
+                  shuffle_partitions=4 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
 # the measured job is the real pipeline shape: READ the page table from
 # storage -> extract -> block -> score -> cluster.  cold run includes

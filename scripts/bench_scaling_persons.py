@@ -48,8 +48,12 @@ from name_match_latest_spark.operators.persons import prepare_persons
 from name_match_latest_spark.plans.caching import unpersist_tracked
 
 cpus, n_rows, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+# 4 shuffle tasks per core: a single wave (partitions == cores) is
+# gated by its slowest partition; 4x gives the scheduler packing slack
+# and AQE coalesces any excess — the same 2-4x/core rule a real
+# cluster job uses
 spark = get_spark("scaling-persons-%d" % cpus, master="local[%d]" % cpus,
-                  shuffle_partitions=max(cpus, 8))
+                  shuffle_partitions=4 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
 n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
 runs = []

@@ -1,0 +1,91 @@
+"""IVF-flat ANN: deterministic sampled centroids, single-list corpus
+assignment, multi-probe query scan — recall gated against brute-force
+cosine top-k."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+DIM = 16
+N = 300
+
+
+def _unit(rng):
+    v = [rng.gauss(0, 1) for _ in range(DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = random.Random(7)
+    # 10 well-separated anchor directions; every vector is a noisy copy
+    # of one anchor, so nearest neighbors are overwhelmingly same-anchor
+    anchors = [_unit(rng) for _ in range(10)]
+    rows = []
+    for i in range(N):
+        a = anchors[i % 10]
+        v = [x + rng.gauss(0, 0.15) for x in a]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [float(x / n) for x in v]))
+    return spark.createDataFrame(rows, SCHEMA).cache()
+
+
+def test_corpus_assignment_is_single_list(spark, embeddings):
+    from name_match_latest_spark.operators.annsearch import (
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(embeddings, n_centroids=8)
+    assert cents.count() == 8
+    lists = ivf_assignments(embeddings, cents, n_probe=1)
+    assert lists.count() == N  # every vector in exactly one list
+    assert lists.select("vec_id").distinct().count() == N
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    """With clustered data and n_probe=3 of 8 lists, IVF top-5 must
+    recover >= 80% of the exact top-5 (the classic IVF recall/probe
+    trade; exactness is the oracle's job, recall is the quality gate)."""
+    from name_match_latest_spark.operators.annsearch import cosine_topk, ivf_topk
+
+    queries = embeddings.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embeddings, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            embeddings, queries, k=5, n_centroids=8, n_probe=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_is_deterministic(spark, embeddings):
+    from name_match_latest_spark.operators.annsearch import ivf_topk
+
+    queries = embeddings.filter("vec_id < 5")
+    a = sorted(map(tuple, ivf_topk(embeddings, queries, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk(embeddings, queries, k=5).collect()))
+    assert a == b
