@@ -85,8 +85,11 @@ def main() -> None:
 
     from name_match_latest_spark.operators.dedup import minhash_lsh_candidates
 
+    # doc_id as STRING on both sides: replica ids are "<id>_<rep>", and
+    # an ANSI union of bigint+string would cast the replicas to BIGINT
+    # and fail at runtime
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text", "lang"
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
     )
     crowd = (
         docs.orderBy("doc_id").limit(50)

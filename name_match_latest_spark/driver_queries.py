@@ -1227,6 +1227,29 @@ def _entity_clusters(spark, sf_dir):
     return cluster_matches(pairs).orderBy("node")
 
 
+@q("entity_clusters_incremental", _entity_clusters_oracle())
+def _entity_clusters_incremental(spark, sf_dir):
+    """The continuous-crawl path: half the match edges are clustered
+    as the 'existing corpus', the other half arrive as an increment
+    folded in by merge_components (condensed-graph CC + broadcast
+    remap — O(changes), never a re-cluster of the world).  The merged
+    assignment is exactly the batch answer, so the SAME recursive-CTE
+    oracle hash-verifies the incremental operator end-to-end."""
+    from .operators.algos import match_fuzzy_no_mid
+    from .operators.clustering import connected_components, merge_components
+
+    t1, t2 = load_persons(spark, sf_dir)
+    edges = (
+        match_fuzzy_no_mid(t1, t2)
+        .select(F.col("t1_id").alias("src"), F.col("t2_id").alias("dst"))
+        # materialized once: both halves and the base CC reuse it
+        .localCheckpoint(eager=True)
+    )
+    split = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
+    base = connected_components(edges.filter(split == 0))
+    return merge_components(base, edges.filter(split == 1)).orderBy("node")
+
+
 # md5 hex nibble -> integer, as SQL (DuckDB has no conv(hex); fold the
 # first 8 hex chars positionally — values < 2^32 are exact in doubles)
 _HEX32 = (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "cluster_matches"]
+__all__ = ["connected_components", "cluster_matches", "merge_components"]
 
 
 def _canonical_checksum(e: DataFrame) -> tuple:
@@ -185,6 +185,108 @@ def connected_components(
             "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
         )
     )
+
+
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    changes_only: bool = False,
+) -> DataFrame:
+    """Incrementally fold new match edges into an existing
+    ``(node, component)`` assignment — the continuous-crawl operator:
+    yesterday's 10^12-row cluster table + today's new pages must NOT
+    re-cluster the world.
+
+    Condensed-graph construction (equivalent to CC on the union graph,
+    asserted by tests):
+
+    1. map each new-edge endpoint to its CURRENT component label
+       (unknown nodes label themselves) — one join against ``labels``;
+    2. run connected components on the condensed graph whose nodes are
+       component labels.  Its size is bounded by the number of touched
+       components, not by the corpus, so at crawl scale it is a tiny
+       graph (driver union-find fast path);
+    3. relabel: only components that actually merged appear in the
+       remap, so the full label table is updated with one scan + one
+       join against a remap that is small by construction —
+       broadcast, no shuffle of the big table.
+
+    ``new_nodes`` (optional, single column) registers nodes that may
+    have no edges (isolated new mentions -> own component).  Output:
+    the full updated ``(node, component)`` covering old nodes, new
+    edge endpoints, and ``new_nodes``.  Component ids remain minimum
+    node ids, so repeated incremental updates agree exactly with one
+    batch recompute over the union of all edges.
+
+    ``changes_only=True`` returns ONLY the rows whose assignment
+    changed or is new — the merge-on-read DELTA a label store appends
+    per micro-batch (O(changes) written, not O(corpus); see
+    streaming/incremental_cluster.py).
+    """
+    e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    lab = labels.select("node", "component")
+
+    # 1. endpoint -> current label (self for unseen nodes)
+    src_lab = lab.select(
+        F.col("node").alias("src"), F.col("component").alias("_sc")
+    )
+    dst_lab = lab.select(
+        F.col("node").alias("dst"), F.col("component").alias("_dc")
+    )
+    cond = (
+        e.join(src_lab, "src", "left")
+        .join(dst_lab, "dst", "left")
+        .select(
+            F.coalesce(F.col("_sc"), F.col("src")).alias("src"),
+            F.coalesce(F.col("_dc"), F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        # materialized: the condensed lineage embeds two joins against
+        # the (huge) label table, and CC touches its input 3+ times
+        .localCheckpoint(eager=True)
+    )
+
+    # 2. CC over the touched-component graph (small by construction)
+    cc = connected_components(cond)
+    remap = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")
+    )
+
+    # 3a. existing nodes: relabel through the broadcast remap —
+    # changes_only takes the inner join (rows in merged components
+    # only); the full view keeps every row via left join + coalesce
+    if changes_only:
+        updated_old = lab.join(
+            F.broadcast(remap), lab.component == F.col("_old"), "inner"
+        ).select("node", F.col("_new").alias("component"))
+    else:
+        updated_old = lab.join(
+            F.broadcast(remap), lab.component == F.col("_old"), "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("_new"), F.col("component")).alias("component"),
+        )
+
+    # 3b. nodes introduced by this increment: edge endpoints + declared
+    # isolated nodes, minus already-labeled ones; their condensed label
+    # is their own id, remapped the same way
+    incoming = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    )
+    if new_nodes is not None:
+        incoming = incoming.union(
+            new_nodes.select(F.col(new_nodes.columns[0]).alias("node"))
+        )
+    fresh = incoming.distinct().join(lab.select("node"), "node", "left_anti")
+    updated_new = fresh.join(
+        F.broadcast(remap), fresh.node == F.col("_old"), "left"
+    ).select("node", F.coalesce(F.col("_new"), F.col("node")).alias("component"))
+
+    return updated_old.unionByName(updated_new)
 
 
 def cluster_matches(matches: DataFrame) -> DataFrame:

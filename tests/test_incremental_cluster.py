@@ -1,0 +1,109 @@
+"""Streaming incremental clustering == batch re-clustering.
+
+The clusterer consumes pages in micro-batches; its final resolved
+assignment must equal `cluster_pages` run once over all pages — same
+nodes, same partition of nodes into clusters (cluster IDS may differ
+only when a later batch introduces a smaller node id; with
+content-stable xxhash64 ids the min-label is order-independent, so we
+compare the induced partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _partition_of(rows):
+    """cluster assignment -> frozenset-of-frozensets partition."""
+    by_cluster = {}
+    for node, cluster in rows:
+        by_cluster.setdefault(cluster, set()).add(node)
+    return {frozenset(v) for v in by_cluster.values()}
+
+
+def test_incremental_stream_equals_batch(spark, tmp_path):
+    from name_match_latest_spark.plans.web_pipeline import cluster_pages
+    from name_match_latest_spark.sources.web import WEBPAGE_SCHEMA, generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    pages = generate_webpages(spark, 300, seed=11).localCheckpoint()
+
+    # three on-disk batches, streamed one file-batch at a time
+    src = str(tmp_path / "pages_stream")
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        # deterministic split by page index embedded in the url
+        batch = pages.filter(
+            F.regexp_extract("url", r"/article/(\d+)$", 1).cast("int").between(
+                lo, hi - 1
+            )
+        )
+        batch.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(WEBPAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clusterer = IncrementalClusterer(spark, str(tmp_path / "state"))
+    q = clusterer.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    # >1 batch actually ran (maxFilesPerTrigger=1 over 3 files)
+    assert len(clusterer.labels.snapshots()) >= 3
+
+    got = clusterer.cluster_members().collect()
+    want = cluster_pages(pages).collect()
+
+    assert len(got) == len(want)
+    assert _partition_of([(r.id, r.cluster_id) for r in got]) == _partition_of(
+        [(r.id, r.cluster_id) for r in want]
+    )
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """Re-invoking process_batch with an already-committed batch id
+    must not duplicate mentions, edges, or label deltas."""
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    pages = generate_webpages(spark, 80, seed=3).localCheckpoint()
+    c = IncrementalClusterer(spark, str(tmp_path / "state"))
+    c.process_batch(pages, batch_id=0)
+    n_mentions = c.mentions.read(spark).count()
+    n_labels = c.current_labels().count()
+    members = sorted(
+        (r.id, r.cluster_id) for r in c.cluster_members().collect()
+    )
+
+    c.process_batch(pages, batch_id=0)  # replay
+    assert c.mentions.read(spark).count() == n_mentions
+    assert c.current_labels().count() == n_labels
+    assert (
+        sorted((r.id, r.cluster_id) for r in c.cluster_members().collect())
+        == members
+    )
+
+
+def test_compaction_preserves_assignment(spark, tmp_path):
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    pages = generate_webpages(spark, 120, seed=5).localCheckpoint()
+    c = IncrementalClusterer(spark, str(tmp_path / "state"))
+    half = pages.limit(60).localCheckpoint()
+    c.process_batch(half, batch_id=0)
+    c.process_batch(pages.subtract(half), batch_id=1)
+
+    before = sorted((r.id, r.cluster_id) for r in c.cluster_members().collect())
+    assert c.compact_labels() is not None
+    after = sorted((r.id, r.cluster_id) for r in c.cluster_members().collect())
+    assert before == after
+    # compaction folds to exactly one row per node
+    raw = c.labels.read(spark)
+    assert raw.count() == raw.select("node").distinct().count()
