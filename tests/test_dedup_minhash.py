@@ -167,3 +167,40 @@ def test_stream_safe_plan_equals_batch_plan(spark, docs):
     b = {r.doc_id: tuple(r[f"sig_{i}"] for i in range(8))
          for r in minhash_signatures_wide(docs, k=8, stream_safe=True).collect()}
     assert a == b
+
+
+def test_arrow_shingles_equal_column_plan_on_unicode_whitespace(spark):
+    """shingles_df (Arrow-batched Python) and _shingle_array (Column
+    expressions, the streaming plan) must agree on adversarial inputs:
+    U+00A0 is NOT a separator (Java/RE2 \\s is ASCII-only — the Python
+    side pins re.ASCII), tabs/newlines ARE, case folds, short docs
+    empty."""
+    from pyspark.sql import functions as F
+
+    from name_match_latest_spark.operators.dedup import (
+        _shingle_array,
+        shingles_df,
+    )
+
+    rows = [
+        ("u1", "alpha beta gamma delta epsilon zeta", "en"),
+        ("u2", "A\tB\nC  D\r\nE", "en"),
+        ("u3", "MiXeD CaSe TOKENS here", "en"),
+        ("u4", "two only", "en"),
+        ("u5", "", "en"),
+        ("u6", "x  y z w", "en"),  # thin space: also non-separator
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+
+    batch = {
+        (r.doc_id, r.tok) for r in shingles_df(docs, n=3).collect()
+    }
+    stream = {
+        (r.doc_id, r.tok)
+        for r in docs.select(
+            "doc_id", F.explode(_shingle_array(F.col("text"), 3)).alias("tok")
+        ).collect()
+    }
+    assert batch == stream
+    # the NBSP stayed inside one token => it bridges its neighbors
+    assert ("u1", "alpha beta gamma delta") in batch
