@@ -25,15 +25,24 @@ Per micro-batch (foreachBatch):
        partial failure see the same candidate space modulo idempotent
        skips)
     3. append mentions + edges (atomic, replay-safe)
-    4. merge_components(current labels, new edges, changes_only=True)
-       -> append ONLY changed/new assignments at version=batch_id
+    4. label delta via the LOG-AWARE merge (``_merge_log_delta``):
+       resolve labels for the EDGE ENDPOINTS only (broadcast semi-join
+       prunes the log before any aggregation), condensed-graph CC over
+       touched components, then rewrite exactly the members of merged
+       components (log rows found by a broadcast hash filter on the
+       remap — a scan, not a shuffle) -> append at version=batch_id
 
 The scale contract: batch-vs-corpus matching is an equi-join on the
 same composite blocking key as the batch pipeline (soundex4(last),
 lang, domain) — the stream side is small, the corpus side is huge but
-never reshuffled beyond the blocking join; label maintenance touches
-merged components only (condensed-graph CC + broadcast remap,
-operators/clustering.py:merge_components).
+never reshuffled beyond the blocking join; NO per-batch operation
+shuffles the corpus: every aggregation and join in the label
+maintenance path is over O(batch + touched-component) rows, and the
+only corpus-wide work is the label-log parquet SCAN under a broadcast
+filter (at Iceberg scale, partition the log by a component bucket and
+that scan prunes too).  The full resolve (groupBy over the whole log)
+happens only on READ (``current_labels``/``cluster_members``) and in
+``compact_labels``.
 """
 
 from __future__ import annotations
@@ -45,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.blocking import pair_join
-from ..operators.clustering import merge_components
+from ..operators.clustering import connected_components
 from ..operators.scoring import score_pairs
 from ..plans.web_pipeline import _block_key, prepare_mentions
 from ..sources.tables import SnapshotTable
@@ -104,10 +113,13 @@ class IncrementalClusterer:
             F.col("t1_id") < F.col("t2_id")
         )
         # batch vs accumulated corpus (pinned snapshot: replays after a
-        # partial failure must not match the batch against itself)
+        # partial failure must not match the batch against itself).
+        # The CORPUS is t1 and the batch is the BROADCAST t2 side: the
+        # corpus streams map-side through the join and is never
+        # shuffled — the per-batch cost a growing crawl can afford
         if corpus_snap is not None:
             corpus = self.mentions.read(spark, corpus_snap)
-            cross = self._match(prepared, corpus).filter(
+            cross = self._match(corpus, prepared, broadcast_right=True).filter(
                 F.col("t1_id") != F.col("t2_id")
             )
             new_edges = within.unionByName(cross)
@@ -125,17 +137,97 @@ class IncrementalClusterer:
         self.mentions.append(prepared, batch_id=batch_id, query_id="mentions")
         self.edges.append(new_edges, batch_id=batch_id, query_id="edges")
 
-        delta = merge_components(
-            self.current_labels(),
-            new_edges,
-            new_nodes=prepared.select("id"),
-            changes_only=True,
+        delta = self._merge_log_delta(
+            new_edges, new_nodes=prepared.select("id")
         ).withColumn("version", F.lit(batch_id).cast("long"))
         self.labels.append(delta, batch_id=batch_id, query_id="labels")
 
-    def _match(self, left_prepared: DataFrame, right_prepared: DataFrame) -> DataFrame:
+    def _merge_log_delta(
+        self, new_edges: DataFrame, new_nodes: DataFrame
+    ) -> DataFrame:
+        """(node, component) rows that change or are new — the
+        log-aware equivalent of ``merge_components(...,
+        changes_only=True)`` with per-batch cost O(batch + touched),
+        independent of corpus size (asserted value-equal to batch
+        re-clustering by tests/test_incremental_cluster.py)."""
+        spark = self.spark
+        try:
+            log = self.labels.read(spark)
+        except FileNotFoundError:
+            log = spark.createDataFrame([], "node long, component long, version long")
+
+        endpoints = (
+            new_edges.select(F.col("src").alias("node"))
+            .union(new_edges.select(F.col("dst").alias("node")))
+            .union(new_nodes.select(F.col(new_nodes.columns[0]).alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # current labels of the touched nodes ONLY: the broadcast
+        # semi-join prunes the log before the resolve aggregation
+        lab_e = resolve_labels(
+            log.join(F.broadcast(endpoints), "node", "left_semi")
+        ).localCheckpoint(eager=True)
+
+        # condensed graph over touched components (tiny), then CC
+        src_lab = lab_e.select(
+            F.col("node").alias("src"), F.col("component").alias("_sc")
+        )
+        dst_lab = lab_e.select(
+            F.col("node").alias("dst"), F.col("component").alias("_dc")
+        )
+        cond = (
+            new_edges.join(F.broadcast(src_lab), "src", "left")
+            .join(F.broadcast(dst_lab), "dst", "left")
+            .select(
+                F.coalesce(F.col("_sc"), F.col("src")).alias("src"),
+                F.coalesce(F.col("_dc"), F.col("dst")).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cc = connected_components(cond)
+        remap = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("_old"), F.col("component").alias("_new")
+        ).localCheckpoint(eager=True)
+
+        # members of merged components: log rows whose component is in
+        # the remap (broadcast hash filter — a scan of the log, no
+        # shuffle), resolved over that SMALL candidate set to drop
+        # stale rows, then relabeled
+        cand_nodes = (
+            log.join(F.broadcast(remap), log.component == F.col("_old"), "left_semi")
+            .select("node")
+            .distinct()
+        )
+        cand_current = resolve_labels(
+            log.join(F.broadcast(cand_nodes), "node", "left_semi")
+        )
+        changed = cand_current.join(
+            F.broadcast(remap), cand_current.component == F.col("_old"), "inner"
+        ).select("node", F.col("_new").alias("component"))
+
+        # nodes with no label history: self-label, remapped if merged
+        fresh = endpoints.join(lab_e.select("node"), "node", "left_anti")
+        fresh_labeled = fresh.join(
+            F.broadcast(remap), fresh.node == F.col("_old"), "left"
+        ).select(
+            "node", F.coalesce(F.col("_new"), F.col("node")).alias("component")
+        )
+        return changed.unionByName(fresh_labeled)
+
+    def _match(
+        self,
+        left_prepared: DataFrame,
+        right_prepared: DataFrame,
+        broadcast_right: bool = False,
+    ) -> DataFrame:
         pairs = pair_join(
-            left_prepared, right_prepared, lambda p: [_block_key(p)]
+            left_prepared,
+            right_prepared,
+            lambda p: [_block_key(p)],
+            broadcast_t2=broadcast_right,
         ).filter(F.col("t1_birthdate") == F.col("t2_birthdate"))
         return score_pairs(pairs, no_middle=True).select("t1_id", "t2_id")
 
