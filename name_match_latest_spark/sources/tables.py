@@ -89,7 +89,12 @@ class SnapshotTable:
             pass
         snap = self.current_snapshot()
         while snap is not None:
-            m = self._manifest(snap)
+            try:
+                m = self._manifest(snap)
+            except FileNotFoundError:
+                break  # chain truncated by expire_snapshots — the
+                # sidecar watermark (written before any expiry could
+                # run) is authoritative beyond this point
             if m.get("query_id") == query_id and m.get("batch_id") is not None:
                 chain = int(m["batch_id"])
                 return chain if wm is None else max(wm, chain)
@@ -167,6 +172,65 @@ class SnapshotTable:
                 os.fsync(f.fileno())
             os.replace(wm_tmp, wm)
         return snap_id
+
+    # --- maintenance --------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-style snapshot expiry + orphan-file GC: keep the
+        HEAD chain's newest ``keep_last`` snapshots, delete older
+        manifests, then delete any data file referenced ONLY by
+        expired snapshots.  An ever-appending stream otherwise grows
+        manifests and (after compactions) dead data dirs without
+        bound.
+
+        Readers pinned to a KEPT snapshot are unaffected (append
+        manifests list parent files, and those stay while any kept
+        manifest references them).  Readers pinned to an EXPIRED
+        snapshot fail fast on the missing manifest — the same contract
+        as Iceberg's expire_snapshots.  Returns counts.
+        """
+        head = self.current_snapshot()
+        if head is None:
+            return {"expired": 0, "files_deleted": 0}
+        keep: list[str] = []
+        snap = head
+        while snap is not None and len(keep) < keep_last:
+            keep.append(snap)
+            try:
+                snap = self._manifest(snap).get("parent")
+            except FileNotFoundError:
+                snap = None
+
+        referenced: set[str] = set()
+        for s in keep:
+            referenced.update(os.path.abspath(p) for p in self._file_paths(s))
+
+        sdir = os.path.join(self.path, "snapshots")
+        expired = 0
+        for name in os.listdir(sdir):
+            if name.endswith(".json") and name[:-5] not in keep:
+                os.remove(os.path.join(sdir, name))
+                expired += 1
+
+        files_deleted = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for snap_dir in os.listdir(data_root):
+                full = os.path.join(data_root, snap_dir)
+                for f in os.listdir(full):
+                    p = os.path.abspath(os.path.join(full, f))
+                    # keep the hadoop .crc sidecar of a kept file
+                    base = (
+                        os.path.abspath(os.path.join(full, f[1:-4]))
+                        if f.startswith(".") and f.endswith(".crc")
+                        else p
+                    )
+                    if p not in referenced and base not in referenced:
+                        os.remove(p)
+                        files_deleted += 1
+                if not os.listdir(full):
+                    os.rmdir(full)
+        return {"expired": expired, "files_deleted": files_deleted}
 
     # --- read side ----------------------------------------------------------
 

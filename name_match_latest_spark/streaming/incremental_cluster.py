@@ -244,10 +244,12 @@ class IncrementalClusterer:
             .start()
         )
 
-    def compact_labels(self) -> str | None:
+    def compact_labels(self, expire: bool = True) -> str | None:
         """Fold the delta log into a single base snapshot (read cost is
-        O(base + deltas); compaction restores it to O(nodes)).  Returns
-        the new snapshot id."""
+        O(base + deltas); compaction restores it to O(nodes)), then
+        expire superseded snapshots so the dead delta files are
+        actually reclaimed (``expire=False`` keeps history for
+        time-travel reads).  Returns the new snapshot id."""
         try:
             raw = self.labels.read(self.spark)
         except FileNotFoundError:
@@ -258,4 +260,7 @@ class IncrementalClusterer:
             .filter(F.col("_rn") == 1)
             .select("node", "component", "version")
         )
-        return self.labels.commit(base)
+        snap = self.labels.commit(base)
+        if expire:
+            self.labels.expire_snapshots(keep_last=1)
+        return snap
