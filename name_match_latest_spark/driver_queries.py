@@ -648,6 +648,46 @@ def _anti_join_unmatched(spark, sf_dir):
 
 
 @q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH toks AS (
+  SELECT d.doc_id, d.lang,
+         list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '') tl
+  FROM documents d),
+tok AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tl) - 2, 0) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 2), ' ')))) AS tok
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id d1, b.doc_id d2, count(*) c
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.d1, i.d2, {_f6('i.c * 1.0 / (s1.n + s2.n - i.c)')} AS jaccard
+FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1 JOIN sizes s2 ON s2.doc_id = i.d2
+WHERE i.c * 1.0 / (s1.n + s2.n - i.c) >= 0.4
+""",
+)
+def _dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup — the order-sensitive variant of
+    the token-set metric (brief: 'n-gram Jaccard').  Uncapped
+    (max_df=None) to pin the exact metric the SQL computes; n-gram
+    keys are inherently df-spread, which is the production skew
+    answer anyway."""
+    from .operators.dedup import token_jaccard_pairs
+
+    register_views(spark, sf_dir)
+    out = token_jaccard_pairs(
+        spark.table("documents"), threshold=0.4, max_df=None, ngram=3
+    )
+    return out.select(
+        "d1", "d2", (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")
+    )
+
+
+@q(
     "dedup_exact",
     """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,

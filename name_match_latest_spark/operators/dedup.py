@@ -128,7 +128,10 @@ AUTO_GUARD_MIN_DOCS = 2000
 
 
 def token_jaccard_pairs(
-    docs: DataFrame, threshold: float, max_df: float | str | None = "auto"
+    docs: DataFrame,
+    threshold: float,
+    max_df: float | str | None = "auto",
+    ngram: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by token-set Jaccard >= threshold (same lang).
 
@@ -141,12 +144,19 @@ def token_jaccard_pairs(
     applies max_df=0.5 once the corpus exceeds AUTO_GUARD_MIN_DOCS;
     pass ``max_df=None`` explicitly for the exact unfiltered metric
     (safe only on small corpora).
+
+    ``ngram > 1`` computes the Jaccard over distinct word n-gram
+    (shingle) sets instead of unigrams — the sharper near-dup metric
+    (unigrams score reorderings as identical; n-grams demand local
+    word order).  N-grams are also the natural skew fix: the df of
+    "the quick brown" is tiny next to "the", so the self-join key is
+    well-spread even without ``max_df``.
     """
     n_docs: int | None = None
     if max_df == "auto":
         n_docs = docs.count()
         max_df = 0.5 if n_docs >= AUTO_GUARD_MIN_DOCS else None
-    toks = tokens_df(docs)
+    toks = shingles_df(docs, n=ngram) if ngram > 1 else tokens_df(docs)
     if max_df is not None:
         if n_docs is None:
             n_docs = docs.count()
