@@ -56,6 +56,7 @@ from pyspark.sql.window import Window
 from ..operators.blocking import pair_join
 from ..operators.clustering import connected_components
 from ..operators.scoring import score_pairs
+from ..plans.checkpoint import AuditLog
 from ..plans.web_pipeline import _block_key, prepare_mentions
 from ..sources.tables import SnapshotTable
 
@@ -69,12 +70,19 @@ def resolve_labels(raw: DataFrame) -> DataFrame:
     )
 
 
+#: above this many batch mentions the batch side is no longer safely
+#: broadcastable (a backfill, not a crawl tick) — the corpus match
+#: falls back to the shuffle join the batch pipeline uses
+BROADCAST_BATCH_MAX = 500_000
+
+
 class IncrementalClusterer:
     def __init__(self, spark: SparkSession, state_dir: str) -> None:
         self.spark = spark
         self.mentions = SnapshotTable(os.path.join(state_dir, "mentions"))
         self.edges = SnapshotTable(os.path.join(state_dir, "edges"))
         self.labels = SnapshotTable(os.path.join(state_dir, "labels"))
+        self.audit = AuditLog(os.path.join(state_dir, "audit"), "incremental-v1")
 
     # --- read side -----------------------------------------------------------
 
@@ -102,11 +110,18 @@ class IncrementalClusterer:
     # --- write side ----------------------------------------------------------
 
     def process_batch(self, pages: DataFrame, batch_id: int) -> None:
-        """foreachBatch body — idempotent per (lineage, batch_id)."""
+        """foreachBatch body — idempotent per (lineage, batch_id).
+        Each batch commits an audit record (mention/edge/label-change
+        counts + wall time) so operators can watch drift — the same
+        per-partition-lineage discipline as run_resumable."""
+        import time as _time
+
+        t0 = _time.time()
         spark = self.spark
         corpus_snap = self.mentions.current_snapshot()
 
         prepared = prepare_mentions(pages).localCheckpoint(eager=True)
+        n_mentions = prepared.count()  # cheap: counts the checkpoint
 
         # within-batch self-match
         within = self._match(prepared, prepared).filter(
@@ -116,12 +131,16 @@ class IncrementalClusterer:
         # partial failure must not match the batch against itself).
         # The CORPUS is t1 and the batch is the BROADCAST t2 side: the
         # corpus streams map-side through the join and is never
-        # shuffled — the per-batch cost a growing crawl can afford
+        # shuffled — the per-batch cost a growing crawl can afford.  A
+        # BACKFILL batch too large to broadcast falls back to the
+        # shuffle join the batch pipeline uses.
         if corpus_snap is not None:
             corpus = self.mentions.read(spark, corpus_snap)
-            cross = self._match(corpus, prepared, broadcast_right=True).filter(
-                F.col("t1_id") != F.col("t2_id")
-            )
+            cross = self._match(
+                corpus,
+                prepared,
+                broadcast_right=n_mentions <= BROADCAST_BATCH_MAX,
+            ).filter(F.col("t1_id") != F.col("t2_id"))
             new_edges = within.unionByName(cross)
         else:
             new_edges = within
@@ -140,7 +159,19 @@ class IncrementalClusterer:
         delta = self._merge_log_delta(
             new_edges, new_nodes=prepared.select("id")
         ).withColumn("version", F.lit(batch_id).cast("long"))
-        self.labels.append(delta, batch_id=batch_id, query_id="labels")
+        delta_snap = self.labels.append(
+            delta, batch_id=batch_id, query_id="labels"
+        )
+        if delta_snap is not None:  # None = replay; already audited
+            self.audit.commit(
+                batch_id,
+                n_mentions=n_mentions,
+                n_new_edges=new_edges.count(),
+                n_label_changes=self.labels.read(
+                    spark, delta_snap
+                ).filter(F.col("version") == batch_id).count(),
+                duration_sec=_time.time() - t0,
+            )
 
     def _merge_log_delta(
         self, new_edges: DataFrame, new_nodes: DataFrame

@@ -52,6 +52,13 @@ def test_incremental_stream_equals_batch(spark, tmp_path):
 
     # >1 batch actually ran (maxFilesPerTrigger=1 over 3 files)
     assert len(clusterer.labels.snapshots()) >= 3
+    # every batch committed an audit record with its metrics
+    recs = clusterer.audit.records()
+    assert len(recs) >= 3
+    assert all(
+        r["n_mentions"] > 0 and "n_label_changes" in r and "duration_sec" in r
+        for r in recs
+    )
 
     got = clusterer.cluster_members().collect()
     want = cluster_pages(pages).collect()
