@@ -139,6 +139,10 @@ def connected_components(
     alternating large-star/small-star loop runs as before."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if nodes is None:
+        # checkpoint BEFORE deriving nodes: otherwise the (often
+        # expensive — a full match join) edge lineage re-executes a
+        # second time when the node set materializes at the final join
+        e = e.localCheckpoint(eager=False)
         nodes = (
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
