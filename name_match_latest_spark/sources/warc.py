@@ -54,6 +54,7 @@ __all__ = [
     "WARC_PAGE_SCHEMA",
     "read_warc_pages",
     "read_wet_pages",
+    "stream_warc_pages",
     "read_jsonl_pages",
     "write_warc",
     "write_wet",
@@ -206,6 +207,28 @@ def read_wet_pages(spark: SparkSession, path_glob: str) -> DataFrame:
     """WET (extracted-text) files -> pages table with html = NULL."""
     files = spark.read.format("binaryFile").load(path_glob)
     return _read_records_as_pages(files, "wet")
+
+
+def stream_warc_pages(spark: SparkSession, dir_path: str) -> DataFrame:
+    """STREAMING pages from a watched directory of WARC files — the
+    rolling-crawl front door: every archive dropped into ``dir_path``
+    becomes a micro-batch of pages (binaryFile file-source semantics:
+    each file is processed exactly once, tracked in the stream
+    checkpoint).  The record split is the same stateless Arrow map as
+    the batch reader, so it is legal on an unbounded stream; feed the
+    result straight into ``IncrementalClusterer.attach``."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # the fixed binaryFile schema — streaming sources require it
+        # explicitly (no inference pass on an unbounded directory)
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .load(dir_path)
+    )
+    return _read_records_as_pages(files, "warc")
 
 
 JSONL_SCHEMA = StructType(

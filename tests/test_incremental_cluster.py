@@ -69,6 +69,44 @@ def test_incremental_stream_equals_batch(spark, tmp_path):
     )
 
 
+def test_warc_directory_stream_feeds_clusterer(spark, tmp_path):
+    """The rolling-crawl front door: WARC archives dropped in a
+    directory -> streaming pages -> incremental clusters, equal to
+    batch-clustering the same pages."""
+    from name_match_latest_spark.plans.web_pipeline import cluster_pages
+    from name_match_latest_spark.sources.warc import stream_warc_pages, write_warc
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    pages = generate_webpages(spark, 150, seed=23).localCheckpoint()
+    rows = pages.collect()
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    for i, lo in enumerate(range(0, 150, 50)):
+        write_warc(
+            str(warc_dir / f"seg-{i}.warc.gz"),
+            [
+                (r.url, r.warc_ts, bytes(r.html), r.lang)
+                for r in rows[lo : lo + 50]
+            ],
+        )
+
+    stream = stream_warc_pages(spark, str(warc_dir))
+    assert stream.isStreaming
+    clusterer = IncrementalClusterer(spark, str(tmp_path / "state"))
+    q = clusterer.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = clusterer.cluster_members().collect()
+    want = cluster_pages(pages).collect()
+    assert len(got) == len(want)
+    assert _partition_of([(r.id, r.cluster_id) for r in got]) == _partition_of(
+        [(r.id, r.cluster_id) for r in want]
+    )
+
+
 def test_replayed_batch_is_noop(spark, tmp_path):
     """Re-invoking process_batch with an already-committed batch id
     must not duplicate mentions, edges, or label deltas."""
