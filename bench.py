@@ -49,8 +49,10 @@ def main() -> None:
         "entity_clusters",  # connected components
         "dedup_minhash_lsh",
         "dedup_token_jaccard",
+        "dedup_ngram_jaccard",  # round 3
         "text_quality",
         "ann_topk",
+        "ann_ivf",              # round 3
         "agg_pricing",
         "window_argmax",
         "events_hourly",
