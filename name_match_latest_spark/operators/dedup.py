@@ -73,6 +73,20 @@ def _shingle_set(text: str, n: int) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _token_jaccard_scalar(t1: str, t2: str) -> float:
+    """Exact unigram token-set Jaccard of two texts — the scalar twin
+    of token_jaccard_pairs (same lowercase + ASCII-\\s+ tokenization),
+    used to VERIFY LSH candidates in the ingest dedup gate."""
+    a = _shingle_set(t1, 1) if t1 else set()
+    b = _shingle_set(t2, 1) if t2 else set()
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
 def shingles_df(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -77,12 +77,33 @@ BROADCAST_BATCH_MAX = 500_000
 
 
 class IncrementalClusterer:
-    def __init__(self, spark: SparkSession, state_dir: str) -> None:
+    """``dedup_threshold`` enables the ingest near-dup gate: each
+    batch drops pages whose text token-Jaccard against an
+    already-ingested page is >= the threshold (plus byte-exact dups),
+    BEFORE extraction — the training-data "is this page already in
+    the corpus?" filter.  Candidate generation is MinHash-banded LSH
+    against the accumulated band table (equi-join, never all-pairs);
+    candidates are verified with the exact token-Jaccard on the two
+    texts, so an LSH false positive cannot drop a legitimate page.
+    Costs one more state table (``docs``: url/text/lang + bands)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        dedup_threshold: float | None = None,
+    ) -> None:
         self.spark = spark
         self.mentions = SnapshotTable(os.path.join(state_dir, "mentions"))
         self.edges = SnapshotTable(os.path.join(state_dir, "edges"))
         self.labels = SnapshotTable(os.path.join(state_dir, "labels"))
         self.audit = AuditLog(os.path.join(state_dir, "audit"), "incremental-v1")
+        self.dedup_threshold = dedup_threshold
+        if dedup_threshold is not None:
+            self.docs = SnapshotTable(os.path.join(state_dir, "docs"))
+            self.docs_bands = SnapshotTable(os.path.join(state_dir, "docs_bands"))
+        else:
+            self.docs = self.docs_bands = None
 
     # --- read side -----------------------------------------------------------
 
@@ -109,6 +130,135 @@ class IncrementalClusterer:
 
     # --- write side ----------------------------------------------------------
 
+    def _dedup_gate(self, pages: DataFrame, batch_id: int) -> DataFrame:
+        """Drop batch pages that duplicate the corpus (or each other):
+        byte-exact by md5, near-dup by LSH candidates VERIFIED with the
+        exact token-Jaccard on the texts.  Appends survivors' doc rows
+        and band assignments.  Every join broadcasts the (small) batch
+        side; the corpus band table is only touched by the band
+        equi-join and the corpus texts by a broadcast-filtered fetch of
+        candidate ids."""
+        from ..operators.dedup import minhash_bands
+
+        spark = self.spark
+        thr = self.dedup_threshold
+        batch = (
+            pages.select(
+                F.col("url").alias("doc_id"),
+                "text",
+                "lang",
+                F.md5("text").alias("text_hash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # 1. byte-exact within the batch (keep min url)
+        w = Window.partitionBy("text_hash").orderBy("doc_id")
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        bands = minhash_bands(batch)
+        # 2. near-dup within the batch: verified pairs drop the larger id
+        cand_w = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                on=["band_id", "band_hash"],
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            .filter(F.col("d1") < F.col("d2"))
+            .distinct()
+        )
+        drop_within = (
+            self._verified_dups(cand_w, batch, batch)
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+        )
+        batch = batch.join(F.broadcast(drop_within), "doc_id", "left_anti")
+
+        docs_snap = self.docs.current_snapshot()
+        if docs_snap is not None:
+            corpus = self.docs.read(spark, docs_snap)
+            # 3a. byte-exact vs corpus: corpus hashes pruned by the
+            # broadcast batch-hash filter, result broadcast back
+            dup_hashes = corpus.select("text_hash").join(
+                F.broadcast(batch.select("text_hash").distinct()),
+                "text_hash",
+                "left_semi",
+            )
+            batch = batch.join(
+                F.broadcast(dup_hashes.distinct()), "text_hash", "left_anti"
+            )
+            # 3b. near-dup vs corpus: band equi-join (batch broadcast)
+            corpus_bands = self.docs_bands.read(spark)
+            batch_bands = minhash_bands(batch)
+            cand = (
+                corpus_bands.join(
+                    F.broadcast(batch_bands.withColumnRenamed("doc_id", "d1")),
+                    on=["band_id", "band_hash"],
+                )
+                .select("d1", F.col("doc_id").alias("d2"))
+                .distinct()
+            )
+            dup_batch_ids = (
+                self._verified_dups(cand, batch, corpus)
+                .select(F.col("d1").alias("doc_id"))
+                .distinct()
+            )
+            batch = batch.join(F.broadcast(dup_batch_ids), "doc_id", "left_anti")
+
+        batch = batch.localCheckpoint(eager=True)
+        self.docs.append(batch, batch_id=batch_id, query_id="docs")
+        self.docs_bands.append(
+            minhash_bands(batch), batch_id=batch_id, query_id="docs_bands"
+        )
+        survivors = batch.select(F.col("doc_id").alias("url"))
+        return pages.join(F.broadcast(survivors), "url", "left_semi")
+
+    def _verified_dups(
+        self, cand: DataFrame, left_docs: DataFrame, right_docs: DataFrame
+    ) -> DataFrame:
+        """Exact token-Jaccard verification of candidate pairs: fetch
+        both texts (corpus side via broadcast-filtered scan), compute
+        the unigram token-set Jaccard in an Arrow batch, keep pairs at
+        or above the threshold."""
+        import pandas as pd
+
+        from ..operators.dedup import _token_jaccard_scalar
+
+        thr = self.dedup_threshold
+        pairs = (
+            cand.join(
+                F.broadcast(
+                    left_docs.select(
+                        F.col("doc_id").alias("d1"), F.col("text").alias("_t1")
+                    )
+                ),
+                "d1",
+            )
+            .join(
+                right_docs.select(
+                    F.col("doc_id").alias("d2"), F.col("text").alias("_t2")
+                ).join(
+                    F.broadcast(cand.select("d2").distinct()), "d2", "left_semi"
+                ),
+                "d2",
+            )
+        )
+
+        def verify(batches):
+            for pdf in batches:
+                keep = [
+                    _token_jaccard_scalar(t1, t2) >= thr
+                    for t1, t2 in zip(pdf["_t1"], pdf["_t2"])
+                ]
+                yield pdf.loc[keep, ["d1", "d2"]]
+
+        return pairs.mapInPandas(verify, schema="d1 string, d2 string")
+
     def process_batch(self, pages: DataFrame, batch_id: int) -> None:
         """foreachBatch body — idempotent per (lineage, batch_id).
         Each batch commits an audit record (mention/edge/label-change
@@ -120,6 +270,8 @@ class IncrementalClusterer:
         spark = self.spark
         corpus_snap = self.mentions.current_snapshot()
 
+        if self.dedup_threshold is not None:
+            pages = self._dedup_gate(pages, batch_id)
         prepared = prepare_mentions(pages).localCheckpoint(eager=True)
         n_mentions = prepared.count()  # cheap: counts the checkpoint
 

@@ -133,6 +133,106 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     )
 
 
+def test_ingest_dedup_gate(spark, tmp_path):
+    """With dedup_threshold set, a batch page that near-duplicates an
+    already-ingested page (or a batch sibling, or is byte-identical)
+    is dropped BEFORE extraction; distinct pages always survive
+    (LSH candidates are verified with the exact token Jaccard)."""
+    from pyspark.sql import functions as F
+
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    base = generate_webpages(spark, 40, seed=41).localCheckpoint()
+    c = IncrementalClusterer(
+        spark, str(tmp_path / "state"), dedup_threshold=0.8
+    )
+    c.process_batch(base, batch_id=0)
+    n0 = c.docs.read(spark).count()
+    assert n0 == 40
+
+    rows = base.orderBy("url").limit(3).collect()
+
+    def tweak(r, i):
+        # near-dup: same text with one token appended
+        return (
+            f"https://copy.example.com/en/article/90{i}",
+            r.warc_ts,
+            r.html,
+            r.text + " extraword",
+            r.lang,
+            r.true_entities,
+        )
+
+    batch2 = spark.createDataFrame(
+        [tweak(r, i) for i, r in enumerate(rows)]      # 3 near-dups
+        + [
+            (
+                "https://copy.example.com/en/article/999",
+                rows[0].warc_ts,
+                rows[0].html,
+                rows[0].text,                           # byte-exact dup
+                rows[0].lang,
+                rows[0].true_entities,
+            ),
+            (
+                "https://fresh.example.com/en/article/998",
+                rows[0].warc_ts,
+                rows[0].html,
+                "completely different tokens about weather patterns "
+                "in coastal regions during winter months entirely",
+                "en",
+                None,
+            ),
+        ],
+        base.schema,
+    )
+    c.process_batch(batch2, batch_id=1)
+    docs = c.docs.read(spark)
+    assert docs.count() == n0 + 1  # only the fresh page survived
+    assert (
+        docs.filter(F.col("doc_id").contains("fresh.example.com")).count() == 1
+    )
+    # mentions were only extracted from surviving pages
+    assert (
+        c.mentions.read(spark)
+        .filter(F.col("url").contains("copy.example.com"))
+        .count()
+        == 0
+    )
+
+
+def test_ingest_dedup_drops_within_batch_near_dups(spark, tmp_path):
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    base = generate_webpages(spark, 10, seed=43).localCheckpoint()
+    r = base.orderBy("url").limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [
+            (r.url, r.warc_ts, r.html, r.text, r.lang, r.true_entities),
+            (
+                r.url + "x",
+                r.warc_ts,
+                r.html,
+                r.text + " tail",
+                r.lang,
+                r.true_entities,
+            ),
+        ],
+        base.schema,
+    )
+    c = IncrementalClusterer(
+        spark, str(tmp_path / "state"), dedup_threshold=0.8
+    )
+    c.process_batch(batch, batch_id=0)
+    assert c.docs.read(spark).count() == 1  # smaller url kept
+
+
 def test_compaction_preserves_assignment(spark, tmp_path):
     from name_match_latest_spark.sources.web import generate_webpages
     from name_match_latest_spark.streaming.incremental_cluster import (
