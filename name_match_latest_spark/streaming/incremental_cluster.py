@@ -427,6 +427,18 @@ class IncrementalClusterer:
             .start()
         )
 
+    def maintain(self) -> dict:
+        """Periodic housekeeping for a long-running crawl: compact the
+        label log, then expire superseded snapshots + GC orphan files
+        on every state table.  Returns per-table stats."""
+        self.compact_labels(expire=True)
+        out = {"labels": "compacted"}
+        for name in ("mentions", "edges", "docs", "docs_bands"):
+            table = getattr(self, name)
+            if table is not None:
+                out[name] = table.expire_snapshots(keep_last=2)
+        return out
+
     def compact_labels(self, expire: bool = True) -> str | None:
         """Fold the delta log into a single base snapshot (read cost is
         O(base + deltas); compaction restores it to O(nodes)), then

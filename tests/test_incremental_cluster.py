@@ -252,3 +252,16 @@ def test_compaction_preserves_assignment(spark, tmp_path):
     # compaction folds to exactly one row per node
     raw = c.labels.read(spark)
     assert raw.count() == raw.select("node").distinct().count()
+
+    # full housekeeping keeps every table readable and identical
+    stats = c.maintain()
+    assert "mentions" in stats and "labels" in stats
+    assert (
+        sorted((r.id, r.cluster_id) for r in c.cluster_members().collect())
+        == before
+    )
+    # a further batch still processes normally after maintenance
+    extra = generate_webpages(spark, 140, seed=5).subtract(pages).localCheckpoint()
+    if extra.count():
+        c.process_batch(extra, batch_id=2)
+        assert c.cluster_members().count() >= len(before)
