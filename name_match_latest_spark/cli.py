@@ -54,24 +54,33 @@ def _load_jdbc(spark, url: str):
     partitioned JDBC source.  `table` is required; `user`/`password`
     default to empty (e.g. socket auth); remaining query params are
     passed through to the driver untouched."""
-    from urllib.parse import parse_qs, urlsplit
+    from urllib.parse import unquote, urlsplit
 
     from .sources.jdbc import read_person_table_jdbc
 
     parts = urlsplit(url[len("jdbc:"):])
-    qs = parse_qs(parts.query)
-    table = (qs.pop("table", [None]) or [None])[0]
+    # extract our three keys but keep every other pair VERBATIM —
+    # re-encoding via parse_qs would percent-decode values (breaking
+    # e.g. sessionVariables=sql_mode%3DANSI) and drop repeated keys
+    ours: dict[str, str] = {}
+    kept: list[str] = []
+    for pair in parts.query.split("&") if parts.query else []:
+        key = pair.partition("=")[0]
+        if key in ("table", "user", "password"):
+            ours[key] = unquote(pair.partition("=")[2])
+        else:
+            kept.append(pair)
+    table = ours.get("table")
     if not table:
         raise SystemExit(
             f"JDBC table arg needs ?table=<name>: {url!r}"
         )
-    user = (qs.pop("user", [""]) or [""])[0]
-    password = (qs.pop("password", [""]) or [""])[0]
-    passthrough = "&".join(f"{k}={v[0]}" for k, v in qs.items())
     base = f"jdbc:{parts.scheme}://{parts.netloc}{parts.path}"
-    if passthrough:
-        base += "?" + passthrough
-    return read_person_table_jdbc(spark, base, table, user, password)
+    if kept:
+        base += "?" + "&".join(kept)
+    return read_person_table_jdbc(
+        spark, base, table, ours.get("user", ""), ours.get("password", "")
+    )
 
 
 def run(argv: list[str] | None = None) -> int:

@@ -64,6 +64,10 @@ def _shingle_set(text: str, n: int) -> set[str]:
     fewer than n tokens -> empty set."""
     import re
 
+    if not isinstance(text, str) or not text:
+        # None/NaN/"" -> no tokens (the Column plans emit null -> null
+        # -> zero rows there too)
+        return set()
     global _WS_ASCII
     if _WS_ASCII is None:
         _WS_ASCII = re.compile(r"\s+", re.ASCII)
@@ -393,13 +397,15 @@ def minhash_lsh_candidates(
         max_bucket = (
             AUTO_BUCKET_CAP if docs.count() >= AUTO_BUCKET_MIN_DOCS else None
         )
-    from ..plans.caching import tracked_persist
-
     # the band lineage (shingle explode -> k-min groupBy -> band md5)
     # is the expensive half of the operator, and it feeds BOTH sides of
     # the candidate self-join plus (capped path) the oversized-bucket
-    # aggregation — persist it once instead of recomputing it 2-3x
-    band = tracked_persist(minhash_bands(docs, k, bands, shingle))
+    # aggregation — materialize it once instead of recomputing it 2-3x.
+    # localCheckpoint, not persist: checkpoint blocks are released by
+    # the ContextCleaner when the frame is garbage-collected, so
+    # library callers don't leak pinned storage per call (a
+    # tracked_persist here had no release point inside the operator)
+    band = minhash_bands(docs, k, bands, shingle).localCheckpoint(eager=False)
     if max_bucket is not None:
         oversized = (
             band.groupBy("band_id", "band_hash")

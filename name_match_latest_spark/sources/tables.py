@@ -173,6 +173,30 @@ class SnapshotTable:
             os.replace(wm_tmp, wm)
         return snap_id
 
+    def snapshot_before(self, batch_id: int, query_id: str) -> str | None:
+        """The newest snapshot committed BEFORE ``batch_id`` of
+        ``query_id`` — the correct corpus pin for a REPLAYED streaming
+        batch: pinning HEAD on a replay would include the crashed
+        attempt's own partial commits (this table's rows from the very
+        batch being retried).  Walks the parent chain past any
+        snapshot this query committed at or after ``batch_id``."""
+        snap = self.current_snapshot()
+        while snap is not None:
+            try:
+                m = self._manifest(snap)
+            except FileNotFoundError:
+                return None  # chain truncated by expiry; nothing newer
+                # than the kept chain can be this query's >= batch_id
+            if (
+                m.get("query_id") == query_id
+                and m.get("batch_id") is not None
+                and int(m["batch_id"]) >= batch_id
+            ):
+                snap = m.get("parent")
+                continue
+            return snap
+        return None
+
     # --- maintenance --------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:

@@ -111,6 +111,9 @@ def _parse_warc_records(raw: bytes):
             length = int(headers.get("content-length", ""))
         except ValueError:
             break  # unframed record: cannot recover record boundaries
+        if length < 0:
+            break  # corrupt length would move pos BACKWARDS (infinite
+            # loop re-parsing the same header block)
         body_start = hdr_end + sep_len
         payload = raw[body_start : body_start + length]
         yield headers, payload
@@ -119,12 +122,18 @@ def _parse_warc_records(raw: bytes):
 
 def _strip_http_envelope(payload: bytes) -> bytes:
     """WARC response payloads embed the HTTP response; the body starts
-    after the first blank line."""
+    after the FIRST blank line — whichever framing (CRLF or bare LF)
+    occurs earliest wins, because an LF-framed header followed by a
+    body containing \\r\\n\\r\\n must not truncate the body."""
     if payload[:5] in (b"HTTP/", b"http/"):
-        for sep in (b"\r\n\r\n", b"\n\n"):
-            i = payload.find(sep)
-            if i != -1:
-                return payload[i + len(sep) :]
+        candidates = [
+            (i, len(sep))
+            for sep in (b"\r\n\r\n", b"\n\n")
+            if (i := payload.find(sep)) != -1
+        ]
+        if candidates:
+            i, sep_len = min(candidates)
+            return payload[i + sep_len :]
     return payload
 
 
@@ -151,8 +160,12 @@ _LANG_STOPWORDS = {
 
 
 def _guess_lang(text: str) -> str:
+    """Stopword-hit argmax; ZERO hits keeps the "en" default (best
+    starts at 0, and only a strictly positive score can displace it —
+    starting at -1 would hand every stopword-free page to the first
+    language alphabetically)."""
     toks = set(text.lower().split()[:400])
-    best_lang, best = "en", -1
+    best_lang, best = "en", 0
     for lang in sorted(_LANG_STOPWORDS):
         score = len(toks & _LANG_STOPWORDS[lang])
         if score > best:

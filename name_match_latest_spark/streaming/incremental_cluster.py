@@ -130,7 +130,9 @@ class IncrementalClusterer:
 
     # --- write side ----------------------------------------------------------
 
-    def _dedup_gate(self, pages: DataFrame, batch_id: int) -> DataFrame:
+    def _dedup_gate(
+        self, pages: DataFrame, batch_id: int, lineage: str
+    ) -> DataFrame:
         """Drop batch pages that duplicate the corpus (or each other):
         byte-exact by md5, near-dup by LSH candidates VERIFIED with the
         exact token-Jaccard on the texts.  Appends survivors' doc rows
@@ -141,7 +143,6 @@ class IncrementalClusterer:
         from ..operators.dedup import minhash_bands
 
         spark = self.spark
-        thr = self.dedup_threshold
         batch = (
             pages.select(
                 F.col("url").alias("doc_id"),
@@ -171,6 +172,9 @@ class IncrementalClusterer:
             )
             .filter(F.col("d1") < F.col("d2"))
             .distinct()
+            # materialized: _verified_dups reads cand twice (pairs
+            # base + d2 broadcast filter)
+            .localCheckpoint(eager=True)
         )
         drop_within = (
             self._verified_dups(cand_w, batch, batch)
@@ -179,7 +183,10 @@ class IncrementalClusterer:
         )
         batch = batch.join(F.broadcast(drop_within), "doc_id", "left_anti")
 
-        docs_snap = self.docs.current_snapshot()
+        # corpus pinned BEFORE this batch's own (possibly crashed and
+        # replayed) commits: pinning HEAD on a replay would see the
+        # batch's own docs and drop the whole batch as self-duplicates
+        docs_snap = self.docs.snapshot_before(batch_id, f"{lineage}:docs")
         if docs_snap is not None:
             corpus = self.docs.read(spark, docs_snap)
             # 3a. byte-exact vs corpus: corpus hashes pruned by the
@@ -193,7 +200,10 @@ class IncrementalClusterer:
                 F.broadcast(dup_hashes.distinct()), "text_hash", "left_anti"
             )
             # 3b. near-dup vs corpus: band equi-join (batch broadcast)
-            corpus_bands = self.docs_bands.read(spark)
+            bands_snap = self.docs_bands.snapshot_before(
+                batch_id, f"{lineage}:docs_bands"
+            )
+            corpus_bands = self.docs_bands.read(spark, bands_snap)
             batch_bands = minhash_bands(batch)
             cand = (
                 corpus_bands.join(
@@ -202,6 +212,9 @@ class IncrementalClusterer:
                 )
                 .select("d1", F.col("doc_id").alias("d2"))
                 .distinct()
+                # materialized: used twice in _verified_dups, and its
+                # lineage scans the full corpus band table
+                .localCheckpoint(eager=True)
             )
             dup_batch_ids = (
                 self._verified_dups(cand, batch, corpus)
@@ -211,9 +224,11 @@ class IncrementalClusterer:
             batch = batch.join(F.broadcast(dup_batch_ids), "doc_id", "left_anti")
 
         batch = batch.localCheckpoint(eager=True)
-        self.docs.append(batch, batch_id=batch_id, query_id="docs")
+        self.docs.append(batch, batch_id=batch_id, query_id=f"{lineage}:docs")
         self.docs_bands.append(
-            minhash_bands(batch), batch_id=batch_id, query_id="docs_bands"
+            minhash_bands(batch),
+            batch_id=batch_id,
+            query_id=f"{lineage}:docs_bands",
         )
         survivors = batch.select(F.col("doc_id").alias("url"))
         return pages.join(F.broadcast(survivors), "url", "left_semi")
@@ -259,8 +274,14 @@ class IncrementalClusterer:
 
         return pairs.mapInPandas(verify, schema="d1 string, d2 string")
 
-    def process_batch(self, pages: DataFrame, batch_id: int) -> None:
+    def process_batch(
+        self, pages: DataFrame, batch_id: int, lineage: str = "default"
+    ) -> None:
         """foreachBatch body — idempotent per (lineage, batch_id).
+        ``lineage`` identifies the checkpoint lineage (attach() passes
+        md5(checkpoint_dir)): batch ids restart at 0 under a fresh
+        checkpoint, so replay watermarks must be scoped per lineage or
+        a re-attached stream's batches would be silently dropped.
         Each batch commits an audit record (mention/edge/label-change
         counts + wall time) so operators can watch drift — the same
         per-partition-lineage discipline as run_resumable."""
@@ -268,10 +289,15 @@ class IncrementalClusterer:
 
         t0 = _time.time()
         spark = self.spark
-        corpus_snap = self.mentions.current_snapshot()
+        # pinned BEFORE this batch's own commits (replay-safe; for the
+        # mention corpus a HEAD pin would only add batch-vs-self pairs
+        # that normalize away, but the pre-batch pin is also cheaper)
+        corpus_snap = self.mentions.snapshot_before(
+            batch_id, f"{lineage}:mentions"
+        )
 
         if self.dedup_threshold is not None:
-            pages = self._dedup_gate(pages, batch_id)
+            pages = self._dedup_gate(pages, batch_id, lineage)
         prepared = prepare_mentions(pages).localCheckpoint(eager=True)
         n_mentions = prepared.count()  # cheap: counts the checkpoint
 
@@ -305,18 +331,23 @@ class IncrementalClusterer:
             .localCheckpoint(eager=True)
         )
 
-        self.mentions.append(prepared, batch_id=batch_id, query_id="mentions")
-        self.edges.append(new_edges, batch_id=batch_id, query_id="edges")
+        self.mentions.append(
+            prepared, batch_id=batch_id, query_id=f"{lineage}:mentions"
+        )
+        self.edges.append(
+            new_edges, batch_id=batch_id, query_id=f"{lineage}:edges"
+        )
 
         delta = self._merge_log_delta(
             new_edges, new_nodes=prepared.select("id")
         ).withColumn("version", F.lit(batch_id).cast("long"))
         delta_snap = self.labels.append(
-            delta, batch_id=batch_id, query_id="labels"
+            delta, batch_id=batch_id, query_id=f"{lineage}:labels"
         )
         if delta_snap is not None:  # None = replay; already audited
             self.audit.commit(
                 batch_id,
+                lineage=lineage,
                 n_mentions=n_mentions,
                 n_new_edges=new_edges.count(),
                 n_label_changes=self.labels.read(
@@ -417,10 +448,19 @@ class IncrementalClusterer:
     def attach(self, pages_stream: DataFrame, checkpoint_dir: str):
         """Wire the clusterer to a STREAMING pages DataFrame; returns
         the StreamingQuery (availableNow trigger: drain, then stop —
-        rerun on a schedule for a rolling crawl)."""
+        rerun on a schedule for a rolling crawl).  The replay-dedup
+        lineage is derived from the checkpoint dir: batch ids restart
+        at 0 under a fresh checkpoint, and scoping the watermark per
+        lineage keeps a re-attached stream's batch 0 from being
+        silently dropped by the old lineage's high-water mark."""
+        import hashlib
+
+        lineage = hashlib.md5(
+            checkpoint_dir.rstrip("/").encode("utf-8")
+        ).hexdigest()[:16]
         return (
             pages_stream.writeStream.foreachBatch(
-                lambda df, bid: self.process_batch(df, bid)
+                lambda df, bid: self.process_batch(df, bid, lineage=lineage)
             )
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)

@@ -155,3 +155,28 @@ def test_cli_jdbc_url_parsing(monkeypatch):
         "user": "u",
         "password": "p",
     }
+
+
+def test_cli_jdbc_passthrough_params_stay_verbatim(monkeypatch):
+    """Percent-encoded values and repeated keys in non-extracted
+    params must reach the driver UNTOUCHED (parse_qs would decode
+    %3D into '=' and drop duplicates)."""
+    import name_match_latest_spark.cli as cli
+
+    captured = {}
+
+    def fake_read(spark, url, table, user, password, **kw):
+        captured.update(url=url)
+        return "DF"
+
+    monkeypatch.setattr(
+        "name_match_latest_spark.sources.jdbc.read_person_table_jdbc", fake_read
+    )
+    cli._load_jdbc(
+        None,
+        "jdbc:mysql://h/db?sessionVariables=sql_mode%3DANSI&table=t"
+        "&flag=a&flag=b",
+    )
+    assert captured["url"] == (
+        "jdbc:mysql://h/db?sessionVariables=sql_mode%3DANSI&flag=a&flag=b"
+    )

@@ -204,3 +204,22 @@ def test_arrow_shingles_equal_column_plan_on_unicode_whitespace(spark):
     assert batch == stream
     # the NBSP stayed inside one token => it bridges its neighbors
     assert ("u1", "alpha beta gamma delta") in batch
+
+
+def test_null_text_docs_are_skipped_not_crashed(spark):
+    """NULL text rows contribute zero shingles in the Arrow plan —
+    same as the Column plans' null -> null -> no rows (round-3 review
+    fix: .lower() on None crashed the worker)."""
+    from name_match_latest_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_wide,
+        token_jaccard_pairs,
+    )
+
+    rows = _corpus() + [("nulldoc", None, "en")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    ids = {r.doc_id for r in minhash_signatures_wide(docs, k=8).collect()}
+    assert "nulldoc" not in ids and len(ids) == len(_corpus())
+    # end-to-end paths survive too
+    minhash_lsh_candidates(docs, max_bucket=None).count()
+    token_jaccard_pairs(docs, threshold=0.9, max_df=None, ngram=3).count()

@@ -233,6 +233,59 @@ def test_ingest_dedup_drops_within_batch_near_dups(spark, tmp_path):
     assert c.docs.read(spark).count() == 1  # smaller url kept
 
 
+def test_gate_replay_after_partial_commit_still_ingests(spark, tmp_path):
+    """Exactly-once under the dedup gate: if a batch crashed AFTER its
+    docs/bands commits but BEFORE mentions, the replay must not see
+    its own docs as 'corpus' and drop the whole batch (round-3 review
+    finding — the gate now pins snapshot_before(batch_id))."""
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    all_pages = generate_webpages(spark, 60, seed=47).localCheckpoint()
+    b1 = all_pages.limit(30).localCheckpoint()
+    b2 = all_pages.subtract(b1).localCheckpoint()
+
+    c = IncrementalClusterer(spark, str(tmp_path / "state"), dedup_threshold=0.8)
+    c.process_batch(b1, batch_id=0)
+    n1 = c.mentions.read(spark).count()
+
+    # simulate the crash: run ONLY the gate for batch 1 (docs + bands
+    # commit), as if the driver died before mentions.append
+    survivors = c._dedup_gate(b2, 1, "default")
+    assert survivors.count() == b2.count()
+
+    # replay batch 1 end-to-end — must ingest, not self-duplicate
+    c.process_batch(b2, batch_id=1)
+    assert c.mentions.read(spark).count() > n1
+    assert c.docs.read(spark).count() == 60
+
+
+def test_fresh_checkpoint_lineage_not_dropped(spark, tmp_path):
+    """A stream re-attached with a FRESH checkpoint restarts batch ids
+    at 0; per-lineage watermarks must let the new lineage's batch 0
+    commit instead of silently dropping it."""
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    pages = generate_webpages(spark, 60, seed=49).localCheckpoint()
+    b1 = pages.limit(30).localCheckpoint()
+    b2 = pages.subtract(b1).localCheckpoint()
+
+    c = IncrementalClusterer(spark, str(tmp_path / "state"))
+    c.process_batch(b1, batch_id=0, lineage="ckptA")
+    n1 = c.mentions.read(spark).count()
+    c.process_batch(b2, batch_id=0, lineage="ckptB")  # fresh checkpoint
+    n2 = c.mentions.read(spark).count()
+    assert n2 > n1
+    # while a true replay in the SAME lineage stays a no-op
+    c.process_batch(b2, batch_id=0, lineage="ckptB")
+    assert c.mentions.read(spark).count() == n2
+
+
 def test_compaction_preserves_assignment(spark, tmp_path):
     from name_match_latest_spark.sources.web import generate_webpages
     from name_match_latest_spark.streaming.incremental_cluster import (

@@ -60,3 +60,28 @@ def test_garbage_never_raises(garbage):
     if garbage[:2] == b"\x1f\x8b":
         return  # gzip magic with corrupt body raises by design
     list(_parse_warc_records(garbage))
+
+
+def test_negative_content_length_terminates():
+    """A corrupt negative Content-Length must not loop forever."""
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example/a\r\n"
+        b"Content-Length: -1000\r\n\r\n" + b"Z" * 2000
+    )
+    assert list(_parse_warc_records(raw)) == []
+
+
+def test_lf_framed_envelope_with_crlf_in_body():
+    """LF-only HTTP headers + a body containing CRLF CRLF: the body
+    must survive intact (earliest blank line wins)."""
+    body = b"<html>a\r\n\r\nb</html>"
+    env = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + body
+    assert _strip_http_envelope(env) == body
+
+
+def test_guess_lang_defaults_to_en_on_zero_hits():
+    from name_match_latest_spark.sources.warc import _guess_lang
+
+    assert _guess_lang("zzz qqq xxx nothing matches") == "en"
+    assert _guess_lang("der und das von ist") == "de"
