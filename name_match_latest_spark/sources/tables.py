@@ -37,20 +37,37 @@ class SnapshotTable:
 
     # --- write side ---------------------------------------------------------
 
-    def commit(self, df: DataFrame, parent: str | None = None) -> str:
-        """Write a new immutable snapshot, returns its id."""
+    def commit(
+        self,
+        df: DataFrame,
+        parent: str | None = None,
+        bucket_by: tuple[str, int] | None = None,
+    ) -> str:
+        """Write a new immutable snapshot (full replacement), returns
+        its id.  ``bucket_by`` keeps the table's bucket layout across
+        compactions (see :meth:`append`)."""
         snap_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
         data_dir = os.path.join(self.path, "data", snap_id)
-        df.write.mode("errorifexists").parquet(data_dir)
-        files = sorted(
-            f for f in os.listdir(data_dir) if f.endswith(".parquet")
-        )
+        if bucket_by is not None:
+            self._write_bucketed(df, data_dir, bucket_by)
+        else:
+            df.write.mode("errorifexists").parquet(data_dir)
+        paths = self._collect_data_files(data_dir)
         manifest = {
             "snapshot_id": snap_id,
             "parent": parent if parent is not None else self.current_snapshot(),
             "committed_at": time.time(),
-            "data_dir": data_dir,
-            "files": files,
+            "file_paths": paths,
+            "bucket_by": (
+                {"col": bucket_by[0], "n": bucket_by[1]}
+                if bucket_by is not None
+                else None
+            ),
+            "file_buckets": {
+                p: b
+                for p in paths
+                if (b := self._bucket_of_path(p)) is not None
+            },
         }
         mpath = os.path.join(self.path, "snapshots", f"{snap_id}.json")
         tmp = mpath + ".tmp"
@@ -101,11 +118,51 @@ class SnapshotTable:
             snap = m.get("parent")
         return wm
 
+    @staticmethod
+    def _write_bucketed(
+        df: DataFrame, data_dir: str, bucket_by: tuple[str, int]
+    ) -> None:
+        """Hash-bucketed write: repartition ON the bucket expression
+        first so each task holds whole buckets — a naive partitionBy
+        writes up to tasks x buckets tiny files."""
+        from pyspark.sql import functions as F
+
+        col, n = bucket_by
+        (
+            df.withColumn("_bucket", F.pmod(F.col(col), F.lit(n)))
+            .repartition(n, F.col("_bucket"))
+            .write.mode("errorifexists")
+            .partitionBy("_bucket")
+            .parquet(data_dir)
+        )
+
+    @staticmethod
+    def _collect_data_files(data_dir: str) -> list[str]:
+        """All parquet files under a snapshot's data dir, recursively
+        (bucketed writes produce `_bucket=K/` partition subdirs)."""
+        out = []
+        for root, _, files in os.walk(data_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(os.path.join(root, f))
+        return sorted(out)
+
+    @staticmethod
+    def _bucket_of_path(path: str) -> int | None:
+        for part in path.split(os.sep):
+            if part.startswith("_bucket="):
+                try:
+                    return int(part.split("=", 1)[1])
+                except ValueError:
+                    return None
+        return None
+
     def append(
         self,
         df: DataFrame,
         batch_id: int | None = None,
         query_id: str = "default",
+        bucket_by: tuple[str, int] | None = None,
     ) -> str | None:
         """Iceberg-style APPEND commit: writes ONLY the new rows' files
         and lists parent files + new files in the manifest — no rewrite
@@ -126,6 +183,13 @@ class SnapshotTable:
         dropped — and interleaved ``commit()`` / batch-less ``append()``
         calls never reset the dedup state (both were real data-loss /
         duplication bugs when the check lived on the head snapshot).
+
+        ``bucket_by=(col, n)`` writes the batch hash-bucketed on
+        ``pmod(col, n)`` into `_bucket=K/` partition subdirs and
+        records each file's bucket in the manifest —
+        :meth:`read_buckets` then prunes point-lookup reads to the
+        touched buckets only (Iceberg bucket-partition pruning).  Use
+        the same spec on every append to one table.
         """
         if batch_id is not None:
             last = self.last_batch_id(query_id)
@@ -134,13 +198,18 @@ class SnapshotTable:
         parent = self.current_snapshot()
         snap_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
         data_dir = os.path.join(self.path, "data", snap_id)
-        df.write.mode("errorifexists").parquet(data_dir)
-        new_files = [
-            os.path.join(data_dir, f)
-            for f in sorted(os.listdir(data_dir))
-            if f.endswith(".parquet")
-        ]
+        if bucket_by is not None:
+            self._write_bucketed(df, data_dir, bucket_by)
+        else:
+            df.write.mode("errorifexists").parquet(data_dir)
+        new_files = self._collect_data_files(data_dir)
         parent_paths = self._file_paths(parent) if parent is not None else []
+        parent_manifest = self._manifest(parent) if parent is not None else {}
+        file_buckets = dict(parent_manifest.get("file_buckets") or {})
+        for p in new_files:
+            b = self._bucket_of_path(p)
+            if b is not None:
+                file_buckets[p] = b
         manifest = {
             "snapshot_id": snap_id,
             "parent": parent,
@@ -148,6 +217,12 @@ class SnapshotTable:
             "file_paths": parent_paths + new_files,
             "batch_id": batch_id,
             "query_id": query_id if batch_id is not None else None,
+            "bucket_by": (
+                {"col": bucket_by[0], "n": bucket_by[1]}
+                if bucket_by is not None
+                else parent_manifest.get("bucket_by")
+            ),
+            "file_buckets": file_buckets,
         }
         mpath = os.path.join(self.path, "snapshots", f"{snap_id}.json")
         tmp = mpath + ".tmp"
@@ -241,18 +316,25 @@ class SnapshotTable:
         if os.path.isdir(data_root):
             for snap_dir in os.listdir(data_root):
                 full = os.path.join(data_root, snap_dir)
-                for f in os.listdir(full):
-                    p = os.path.abspath(os.path.join(full, f))
-                    # keep the hadoop .crc sidecar of a kept file
-                    base = (
-                        os.path.abspath(os.path.join(full, f[1:-4]))
-                        if f.startswith(".") and f.endswith(".crc")
-                        else p
-                    )
-                    if p not in referenced and base not in referenced:
-                        os.remove(p)
-                        files_deleted += 1
-                if not os.listdir(full):
+                # walk bottom-up: bucketed layouts nest `_bucket=K/`
+                # subdirs, pruned dirs are removed once emptied
+                for root, dirs, files in os.walk(full, topdown=False):
+                    for f in files:
+                        p = os.path.abspath(os.path.join(root, f))
+                        # keep the hadoop .crc sidecar of a kept file
+                        base = (
+                            os.path.abspath(os.path.join(root, f[1:-4]))
+                            if f.startswith(".") and f.endswith(".crc")
+                            else p
+                        )
+                        if p not in referenced and base not in referenced:
+                            os.remove(p)
+                            files_deleted += 1
+                    for d in dirs:
+                        dp = os.path.join(root, d)
+                        if not os.listdir(dp):
+                            os.rmdir(dp)
+                if os.path.isdir(full) and not os.listdir(full):
                     os.rmdir(full)
         return {"expired": expired, "files_deleted": files_deleted}
 
@@ -292,3 +374,42 @@ class SnapshotTable:
         if snap_id is None:
             raise FileNotFoundError(f"no snapshot committed at {self.path}")
         return spark.read.parquet(*self._file_paths(snap_id))
+
+    def bucket_spec(self, snapshot_id: str | None = None) -> tuple[str, int] | None:
+        snap_id = snapshot_id or self.current_snapshot()
+        if snap_id is None:
+            return None
+        spec = self._manifest(snap_id).get("bucket_by")
+        return (spec["col"], int(spec["n"])) if spec else None
+
+    def read_buckets(
+        self,
+        spark: SparkSession,
+        values,
+        snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Point-lookup read: only files whose bucket can contain one
+        of ``values`` (ints, hashed as ``pmod(v, n)`` — the same
+        function the writer used).  Files written without bucketing
+        are always included (correctness over pruning).  Falls back to
+        a full read when the table has no bucket spec.  The DataFrame
+        still needs the exact filter/join on top — pruning shrinks the
+        scan, it does not apply the predicate."""
+        snap_id = snapshot_id or self.current_snapshot()
+        if snap_id is None:
+            raise FileNotFoundError(f"no snapshot committed at {self.path}")
+        m = self._manifest(snap_id)
+        spec = m.get("bucket_by")
+        if not spec:
+            return spark.read.parquet(*self._file_paths(snap_id))
+        n = int(spec["n"])
+        wanted = {int(v) % n for v in values}
+        file_buckets = m.get("file_buckets") or {}
+        keep = [
+            p
+            for p in self._file_paths(snap_id)
+            if file_buckets.get(p) is None or file_buckets[p] in wanted
+        ]
+        if not keep:  # schema must survive an empty selection
+            return self.read(spark, snap_id).limit(0)
+        return spark.read.parquet(*keep)

@@ -107,6 +107,37 @@ def test_warc_directory_stream_feeds_clusterer(spark, tmp_path):
     )
 
 
+def test_bucketed_label_log_equivalent(spark, tmp_path):
+    """label_buckets=8 (pruned point lookups) must produce the exact
+    same assignments as the unbucketed default, across increments and
+    compaction."""
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    pages = generate_webpages(spark, 160, seed=17).localCheckpoint()
+    half = pages.limit(80).localCheckpoint()
+    rest = pages.subtract(half).localCheckpoint()
+
+    results = {}
+    for name, buckets in (("plain", None), ("bucketed", 8)):
+        c = IncrementalClusterer(
+            spark, str(tmp_path / name), label_buckets=buckets
+        )
+        c.process_batch(half, batch_id=0)
+        c.process_batch(rest, batch_id=1)
+        if buckets:
+            c.compact_labels()
+        results[name] = sorted(
+            (r.id, r.cluster_id) for r in c.cluster_members().collect()
+        )
+    assert results["plain"] == results["bucketed"]
+    # the bucketed log actually carries the layout
+    c = IncrementalClusterer(spark, str(tmp_path / "bucketed"), label_buckets=8)
+    assert c.labels.bucket_spec() == ("node", 8)
+
+
 def test_replayed_batch_is_noop(spark, tmp_path):
     """Re-invoking process_batch with an already-committed batch id
     must not duplicate mentions, edges, or label deltas."""
