@@ -26,6 +26,7 @@ __all__ = [
     "ivf_assignments",
     "ivf_centroids",
     "ivf_topk",
+    "kmeans_refine",
     "lsh_band_assignments",
     "lsh_bucket_assignments",
     "lsh_bucket_topk",
@@ -229,6 +230,74 @@ def ivf_centroids(
     )
 
 
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the coarse centroids: per iteration, assign
+    every corpus vector to its nearest centroid (broadcast centroids,
+    map-side — no shuffle on the corpus beyond the mean aggregation),
+    then move each centroid to the element-wise MEAN of its members;
+    centroids that lose all members keep their position.  A fixed
+    iteration count keeps the plan static (no driver-side convergence
+    loop over unbounded rounds).
+
+    Scale shape per iteration: one broadcast join + one
+    groupBy(centroid_id, dim_pos) mean — both shuffle O(corpus x dim)
+    value cells with full partial aggregation, the same cost class as
+    one MinHash signature pass.
+
+    NOT oracle-checked: distributed float summation order makes the
+    means ulp-nondeterministic across partitionings, so the driver
+    oracle pins the md5-sampled refine=0 centroids (ann_ivf) and this
+    refinement is gated by pytest recall assertions instead
+    (test_annsearch_recall.py)."""
+    out = centroids
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("_v")
+    )
+    for _ in range(iters):
+        from pyspark.sql import Window
+
+        scored = e.crossJoin(F.broadcast(out)).withColumn(
+            "_cos", cosine_col(F.col("_v"), F.col("cvec"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("_cos"), F.asc("centroid_id")
+        )
+        nearest = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("centroid_id", "_v")
+        )
+        means = (
+            nearest.select(
+                "centroid_id", F.posexplode("_v").alias("_pos", "_x")
+            )
+            .groupBy("centroid_id", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_new")
+            )
+        )
+        out = (
+            out.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new"), F.col("cvec")).alias("cvec"),
+            )
+            .localCheckpoint(eager=True)  # truncate the per-iteration plan
+        )
+    return out
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -261,6 +330,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 2,
+    refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -269,10 +339,17 @@ def ivf_topk(
     ``n_probe`` nearest lists.  The list join is an equi-join on
     centroid_id — a blocking key exactly like the person matcher's, so
     work is bounded by list sizes, never O(N x Q).  Recall is tuned by
-    n_probe/n_centroids (the classic IVF trade)."""
+    n_probe/n_centroids (the classic IVF trade); ``refine_iters`` runs
+    that many Lloyd iterations on the sampled centroids
+    (:func:`kmeans_refine`) — better-centered lists at the same probe
+    budget."""
     from pyspark.sql import Window
 
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    if refine_iters > 0:
+        cents = kmeans_refine(
+            embeddings, cents, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
     lists = ivf_assignments(embeddings, cents, 1, id_col, vec_col)
     probes = ivf_assignments(queries, cents, n_probe, id_col, vec_col)
 

