@@ -49,19 +49,16 @@ def _load_table(spark, path: str):
     return prepare_persons(apply_column_mapping(df, {}))
 
 
-def _load_jdbc(spark, url: str):
-    """Route a ``jdbc:...?table=T&user=U&password=P`` arg through the
-    partitioned JDBC source.  `table` is required; `user`/`password`
-    default to empty (e.g. socket auth); remaining query params are
-    passed through to the driver untouched."""
+def _parse_jdbc_arg(url: str) -> tuple[str, str, str, str]:
+    """``jdbc:...?table=T&user=U&password=P`` -> (base_url, table,
+    user, password).  `table` is required; `user`/`password` default
+    to empty (e.g. socket auth); remaining query params are kept in
+    the base url VERBATIM — re-encoding via parse_qs would
+    percent-decode values (breaking e.g.
+    sessionVariables=sql_mode%3DANSI) and drop repeated keys."""
     from urllib.parse import unquote, urlsplit
 
-    from .sources.jdbc import read_person_table_jdbc
-
     parts = urlsplit(url[len("jdbc:"):])
-    # extract our three keys but keep every other pair VERBATIM —
-    # re-encoding via parse_qs would percent-decode values (breaking
-    # e.g. sessionVariables=sql_mode%3DANSI) and drop repeated keys
     ours: dict[str, str] = {}
     kept: list[str] = []
     for pair in parts.query.split("&") if parts.query else []:
@@ -78,9 +75,16 @@ def _load_jdbc(spark, url: str):
     base = f"jdbc:{parts.scheme}://{parts.netloc}{parts.path}"
     if kept:
         base += "?" + "&".join(kept)
-    return read_person_table_jdbc(
-        spark, base, table, ours.get("user", ""), ours.get("password", "")
-    )
+    return base, table, ours.get("user", ""), ours.get("password", "")
+
+
+def _load_jdbc(spark, url: str):
+    """Route a ``jdbc:...?table=T&user=U&password=P`` arg through the
+    partitioned JDBC source."""
+    from .sources.jdbc import read_person_table_jdbc
+
+    base, table, user, password = _parse_jdbc_arg(url)
+    return read_person_table_jdbc(spark, base, table, user, password)
 
 
 def run(argv: list[str] | None = None) -> int:
@@ -147,8 +151,10 @@ def run(argv: list[str] | None = None) -> int:
             out = df if household else df.filter(
                 F.col("confidence") >= args.threshold
             )
+            # total_rows, not rows_written: the sheet is capped at 100k
+            # rows and the CLI must report the REAL match count
             return write_matches_xlsx(out.orderBy(*order), args.out_path)[
-                "rows_written"
+                "total_rows"
             ]
         if household:
             write_households_csv(df, args.out_path)

@@ -157,28 +157,28 @@ def connected_components(
     if n_edges <= driver_threshold:
         return _driver_union_find(e, nodes)
 
-    # right-size the iteration shuffles: CC rounds are many small jobs;
-    # per-round overhead is proportional to partition count, so width
-    # follows the edge count (~2M edges/partition), not the core count
-    spark = e.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    cc_parts = max(8, min(2000, n_edges // 2_000_000 + 8))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    # Shuffle width inside the loop is the SESSION's (plus AQE
+    # coalescing of small post-shuffle partitions).  An earlier
+    # version right-sized it by mutating spark.sql.shuffle.partitions
+    # for the loop's duration — but SQLConf is session-global and
+    # plans/jobs.py explicitly supports CONCURRENT job groups in one
+    # session: a query on another thread would silently execute at
+    # the CC loop's width.  Below driver_threshold the union-find
+    # path already avoids the many-small-jobs overhead that mutation
+    # targeted; above it (the 100 TB regime) the session width is the
+    # right width, and AQE handles the shrinking tail rounds.
 
     # one action per round: lazy localCheckpoint truncates the logical
     # plan every round (nested star-join plans otherwise grow
     # geometrically and drown the driver in re-analysis), while the
     # checksum aggregation doubles as the materializing action
     prev = None
-    try:
-        for _ in range(max_iter):
-            e = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=False)
-            cur = _canonical_checksum(e)
-            if cur == prev:
-                break
-            prev = cur
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=False)
+        cur = _canonical_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
 
     # at convergence every edge points node -> component root
     assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -5,11 +5,13 @@ with typed metadata alongside; transforms run as Arrow-batched
 ``mapInPandas`` so each batch moves one Arrow buffer, never one row.
 
 Decode support (no PIL/ffmpeg in this container — these kernels are
-pure stdlib ``struct`` + numpy, i.e. REAL decodes, not stubs):
+pure stdlib ``struct``/``zlib`` + numpy, i.e. REAL decodes, not stubs):
 
-* images — uncompressed 24-bit BMP: decode, nearest-neighbor resize,
-  re-encode.  Compressed formats (PNG/JPEG) raise at execution time
-  with a clear message: their codecs genuinely need PIL/opencv.
+* images — uncompressed 24-bit BMP AND 8-bit non-interlaced PNG
+  (DEFLATE via stdlib zlib; gray/gray+alpha/RGB/RGBA/palette, all five
+  scanline filters): decode, nearest-neighbor resize, re-encode.
+  JPEG (and Adam7-interlaced PNG) raise at execution time with a
+  clear message: those codecs genuinely need PIL/opencv.
 * audio  — RIFF/WAVE PCM16: real sample decode -> duration/RMS/ZCR/
   peak features.
 * video  — uncompressed RIFF/AVI ('00db' DIB frames): real frame
@@ -29,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Callable
 
 import numpy as np
@@ -54,6 +57,8 @@ __all__ = [
     "DETERMINISTIC_FAKE",
     "decode_bmp",
     "encode_bmp",
+    "decode_png",
+    "encode_png",
     "decode_wav_pcm16",
 ]
 
@@ -126,6 +131,131 @@ def encode_bmp(img: np.ndarray) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
     return bytes(file_hdr + info + body)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> channel count
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (h, stride) uint8.  Filters
+    None/Sub/Up are vectorized (Sub = per-lane cumsum mod 256);
+    Average/Paeth recurse byte-serially within the row (spec-exact)."""
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride))
+    lines = lines.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = lines[y, 0], lines[y, 1:]
+        if ftype == 0:
+            row = line.copy()
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            # per-lane cumsum mod 256 (stride is w*bpp for 8-bit depth)
+            acc = line.astype(np.int64).reshape(-1, bpp)
+            row = (np.cumsum(acc, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            row = (line.astype(np.int64) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            row = line.copy()
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (int(line[x]) + (int(left) + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            row = line.copy()
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = row
+        prev = out[y]
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (H, W, 3) uint8 BGR (same contract
+    as ``decode_bmp`` so downstream treats images uniformly).  DEFLATE
+    via stdlib zlib — a REAL decode.  Gray/gray+alpha/RGB/RGBA/palette
+    color types; alpha is dropped.  16-bit depths and Adam7 interlace
+    raise (NotImplementedError for interlace: it needs a 7-pass
+    de-multiplex this kernel deliberately omits)."""
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    idat = bytearray()
+    plte = None
+    ihdr = None
+    while pos + 8 <= n:
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, bit_depth, color, comp, filt, interlace = ihdr
+    if interlace != 0:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG needs PIL/opencv — this stdlib kernel "
+            "decodes non-interlaced (the overwhelmingly common) PNGs"
+        )
+    if bit_depth != 8 or comp != 0 or filt != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (depth={bit_depth}, color={color})"
+        )
+    channels = _PNG_CHANNELS[color]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    img = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        img = plte[img[:, :, 0]]
+    elif color == 0:  # gray
+        img = np.repeat(img, 3, axis=2)
+    elif color == 4:  # gray+alpha
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif color == 6:  # RGBA
+        img = img[:, :, :3]
+    return img[:, :, ::-1].copy()  # RGB -> BGR (decode_bmp contract)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 BGR -> 8-bit RGB non-interlaced PNG bytes
+    (filter 0 scanlines, stdlib zlib DEFLATE)."""
+    h, w = img.shape[:2]
+    rgb = np.ascontiguousarray(img[:, :, ::-1], dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -218,8 +348,9 @@ def auto_featurize(payload: bytes) -> list[float]:
     1.0 = image stats, 0.5 = audio stats, fallback = md5[0]/255."""
     payload = payload or b""
     try:
-        if payload[:2] == b"BM":
-            img = decode_bmp(payload).astype(np.float64) / 255.0
+        if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
+            decode = decode_bmp if payload[:2] == b"BM" else decode_png
+            img = decode(payload).astype(np.float64) / 255.0
             h, w = img.shape[:2]
             means = img.reshape(-1, 3).mean(axis=0)
             stds = img.reshape(-1, 3).std(axis=0)
@@ -235,8 +366,8 @@ def auto_featurize(payload: bytes) -> list[float]:
                 [0.5, min(dur / 3600.0, 1.0), rms, zcr, peak,
                  channels / 8.0, rate / 192000.0]
             )
-    except (ValueError, struct.error):
-        pass  # malformed payload -> deterministic fallback
+    except (ValueError, struct.error, zlib.error, NotImplementedError):
+        pass  # malformed/interlaced payload -> deterministic fallback
     return DETERMINISTIC_FAKE(payload)
 
 
@@ -279,9 +410,10 @@ def resize_images(
     payload_col: str = "payload",
 ) -> DataFrame:
     """binary -> binary resized image via mapInPandas.  REAL for
-    uncompressed 24-bit BMP (stdlib decode + numpy nearest-neighbor);
-    compressed formats raise at execution time — PNG/JPEG codecs need
-    PIL/opencv, absent from this container."""
+    uncompressed 24-bit BMP and 8-bit non-interlaced PNG (stdlib
+    struct/zlib decode + numpy nearest-neighbor, re-encoded in the
+    input's own format); JPEG raises at execution time — its codec
+    needs PIL/opencv, absent from this container."""
     schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -297,12 +429,17 @@ def resize_images(
             out = []
             for b in pdf[payload_col]:
                 payload = bytes(b) if b is not None else b""
-                if payload[:2] != b"BM":
+                if payload[:2] == b"BM":
+                    decode, encode = decode_bmp, encode_bmp
+                elif payload[:8] == _PNG_SIG:
+                    decode, encode = decode_png, encode_png
+                else:
                     raise NotImplementedError(
-                        "non-BMP image resize requires PIL/opencv, "
-                        "unavailable in this container (BMP decodes here)"
+                        "non-BMP/PNG image resize requires PIL/opencv, "
+                        "unavailable in this container (BMP and 8-bit "
+                        "non-interlaced PNG decode here)"
                     )
-                out.append(encode_bmp(_resize_nearest(decode_bmp(payload), width, height)))
+                out.append(encode(_resize_nearest(decode(payload), width, height)))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -76,7 +76,13 @@ def _dup_key_col(policy: ImportPolicy):
     """duplicate_key (mod.rs duplicate_key fn): id / uuid / matcher
     fields first|last|birthdate with None -> ''."""
     if policy.duplicate_key == "id":
-        return F.concat(F.lit("id:"), F.col("id").cast("string"))
+        # coalesce like the uuid/matcher variants: concat with a NULL
+        # id yields a NULL key, and NULL never equals itself in the
+        # dedup joins — null-id rows (reachable with allow_invalid)
+        # would be silently dropped instead of imported
+        return F.concat(
+            F.lit("id:"), F.coalesce(F.col("id").cast("string"), F.lit(""))
+        )
     if policy.duplicate_key == "uuid":
         return F.concat(F.lit("uuid:"), F.coalesce(F.col("uuid"), F.lit("")))
     return F.concat(

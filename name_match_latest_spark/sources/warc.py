@@ -21,12 +21,16 @@ This source follows that model exactly:
 * ``write_warc`` / ``write_wet`` — stdlib writers (gzip optional)
   used for fixtures and as the archival sink.
 
-Scale notes: binaryFile streams each file as ONE row — fine for the
-~1 GB WARC convention (Arrow batch = one file), and the parse is a
+Scale notes: parallelism is at FILE granularity and the parse is a
 narrow map with no shuffle; downstream repartitioning happens on the
-pages DataFrame where rows are page-sized.  Gzip is handled per file
-(multi-member streams — Common Crawl gzips each record as its own
-member precisely so whole-file decompression still works).
+pages DataFrame where rows are page-sized.  Worker memory is
+O(record): records stream record-at-a-time through an incremental
+gzip reader (multi-member streams — the Common-Crawl convention — are
+native to GzipFile), pages are emitted in bounded Arrow chunks, and
+for local/file: globs the content column is pruned from the
+binaryFile scan entirely so not even the compressed archive is
+buffered.  A ~1 GB gzipped WARC (~3-5 GB decompressed) therefore
+costs one record + one chunk of pages per worker, not gigabytes.
 """
 
 from __future__ import annotations
@@ -78,46 +82,83 @@ _CRLF = b"\r\n"
 # ---------------------------------------------------------------------------
 
 
-def _parse_warc_records(raw: bytes):
-    """Yield (headers: dict, payload: bytes) per WARC record.
+#: header blocks larger than this are treated as unframed garbage —
+#: bounds the scan-ahead buffer on corrupt input (real WARC header
+#: blocks are a few hundred bytes)
+_MAX_HEADER_BLOCK = 1 << 20
+
+
+def _iter_warc_records(stream):
+    """Yield (headers: dict, payload: bytes) per WARC record, reading
+    the stream RECORD-AT-A-TIME — at no point is more than one
+    record's payload (plus a bounded header buffer) in memory, so a
+    ~1 GB gzipped archive (~3-5 GB decompressed) parses in O(record)
+    memory instead of O(archive).
 
     WARC/1.0 framing: header block terminated by CRLF CRLF, payload of
     exactly Content-Length bytes, then CRLF CRLF before the next
-    record.  Tolerates LF-only header framing and trailing garbage.
+    record.  Tolerates LF-only header framing, truncated final
+    payloads, and trailing garbage (parse stops, matching the
+    buffer parser's contract — property-tested in
+    tests/test_warc_parser_properties.py).
     """
-    if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)  # multi-member streams decompress fully
-    pos, n = 0, len(raw)
-    while pos < n:
-        # skip inter-record CR/LF runs (payload bytes are never scanned
-        # — the parser jumps over them by Content-Length)
-        while pos < n and raw[pos] in (0x0D, 0x0A):
-            pos += 1
-        if pos >= n:
-            break
-        hdr_end = raw.find(b"\r\n\r\n", pos)
-        sep_len = 4
-        lf_end = raw.find(b"\n\n", pos)
-        if hdr_end == -1 or (lf_end != -1 and lf_end < hdr_end):
-            hdr_end, sep_len = lf_end, 2
-        if hdr_end == -1:
-            break
+    buf = b""
+    while True:
+        # locate end of header block: earliest of CRLFCRLF / LFLF,
+        # skipping leading inter-record CR/LF runs first
+        while True:
+            start = 0
+            n = len(buf)
+            while start < n and buf[start] in (0x0D, 0x0A):
+                start += 1
+            if start:
+                buf = buf[start:]
+            hdr_end = buf.find(b"\r\n\r\n")
+            sep_len = 4
+            lf_end = buf.find(b"\n\n")
+            if hdr_end == -1 or (lf_end != -1 and lf_end < hdr_end):
+                hdr_end, sep_len = lf_end, 2
+            if hdr_end != -1:
+                # the block may still END in CR/LF noise only — but a
+                # found separator after the skip is a real block
+                break
+            if len(buf) > _MAX_HEADER_BLOCK:
+                return  # unframed garbage: no header in sight
+            chunk = stream.read(65536)
+            if not chunk:
+                return  # EOF before a complete header block
+            buf += chunk
         headers: dict[str, str] = {}
-        for line in raw[pos:hdr_end].decode("utf-8", "replace").splitlines():
+        for line in buf[:hdr_end].decode("utf-8", "replace").splitlines():
             if ":" in line:
                 k, _, v = line.partition(":")
                 headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break  # unframed record: cannot recover record boundaries
+            return  # unframed record: cannot recover record boundaries
         if length < 0:
-            break  # corrupt length would move pos BACKWARDS (infinite
-            # loop re-parsing the same header block)
+            return  # corrupt length: refuse rather than mis-frame
         body_start = hdr_end + sep_len
-        payload = raw[body_start : body_start + length]
+        payload = buf[body_start : body_start + length]
+        buf = buf[body_start + length :]
+        missing = length - len(payload)
+        if missing > 0:
+            rest = stream.read(missing)  # exact-length payload read
+            payload += rest
         yield headers, payload
-        pos = body_start + length
+
+
+def _parse_warc_records(raw: bytes):
+    """Buffer-input convenience wrapper over ``_iter_warc_records``.
+    Gzip input (multi-member streams — Common Crawl gzips each record
+    as its own member) is decompressed INCREMENTALLY via GzipFile, so
+    even from an in-memory compressed buffer only one record's
+    decompressed payload is held at a time."""
+    if raw[:2] == b"\x1f\x8b":
+        yield from _iter_warc_records(gzip.GzipFile(fileobj=io.BytesIO(raw)))
+    else:
+        yield from _iter_warc_records(io.BytesIO(raw))
 
 
 def _strip_http_envelope(payload: bytes) -> bytes:
@@ -178,48 +219,139 @@ def _guess_lang(text: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _read_records_as_pages(files: DataFrame, mode: str) -> DataFrame:
+#: page rows per yielded Arrow batch — bounds worker memory to one
+#: chunk of parsed pages instead of a whole archive's worth
+_PAGES_PER_CHUNK = 256
+
+
+def _local_path_of(uri: str) -> str | None:
+    """file:-scheme (or bare) binaryFile path -> local fs path, else
+    None (object-store URIs fall back to the content column)."""
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(uri).path)
+        return p if os.path.exists(p) else None
+    if "://" not in uri and os.path.exists(uri):
+        return uri
+    return None
+
+
+def _open_record_stream(path_uri: str | None, content):
+    """Best available record stream for one archive: stream straight
+    from the local file when the path resolves (ZERO whole-file
+    buffers — not even the compressed bytes), else incremental gzip
+    over the in-memory content (compressed bytes held, decompressed
+    stream O(record))."""
+    local = _local_path_of(path_uri) if path_uri else None
+    if local is not None:
+        f = open(local, "rb")
+        if f.read(2) == b"\x1f\x8b":
+            f.seek(0)
+            return gzip.GzipFile(fileobj=f)
+        f.seek(0)
+        return f
+    if content is None:
+        raise FileNotFoundError(
+            f"WARC path {path_uri!r} is not locally readable and the "
+            "content column was pruned (path-only read of a non-local "
+            "or vanished file)"
+        )
+    raw = bytes(content)
+    if raw[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(raw))
+    return io.BytesIO(raw)
+
+
+def _read_records_as_pages(
+    files: DataFrame, mode: str, path_only: bool = False
+) -> DataFrame:
     """binaryFile rows -> page rows.  ``mode``: 'warc' (response
-    records, html payload) or 'wet' (conversion records, text payload)."""
+    records, html payload) or 'wet' (conversion records, text payload).
+
+    Memory contract (the 1 GB-archive model): records stream
+    record-at-a-time (``_iter_warc_records``) and parsed pages are
+    yielded in ``_PAGES_PER_CHUNK`` Arrow batches, so a worker holds
+    one record payload + one chunk of pages — never the decompressed
+    archive.  ``path_only`` (set by the readers for local/file:
+    globs) additionally PRUNES the content column from the binaryFile
+    scan and streams straight off disk: not even the compressed
+    archive is buffered."""
+    has_path = "path" in files.columns
+    cols = (
+        ["path"]
+        if path_only and has_path
+        else (["path", "content"] if has_path else ["content"])
+    )
 
     def parse(batches):
         for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                for headers, payload in _parse_warc_records(bytes(content)):
-                    rtype = headers.get("warc-type", "")
-                    url = headers.get("warc-target-uri")
-                    ts = _parse_warc_date(headers.get("warc-date"))
-                    if mode == "warc" and rtype == "response":
-                        html = _strip_http_envelope(payload)
-                        text = extract_text_from_html(html)
-                        lang = headers.get(
-                            "warc-identified-content-language"
-                        ) or _guess_lang(text)
-                        rows.append((url, ts, html, text, lang.split(",")[0]))
-                    elif mode == "wet" and rtype == "conversion":
-                        text = payload.decode("utf-8", "replace")
-                        lang = headers.get(
-                            "warc-identified-content-language"
-                        ) or _guess_lang(text)
-                        rows.append((url, ts, None, text, lang.split(",")[0]))
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            paths = pdf["path"] if "path" in pdf else [None] * len(pdf)
+            contents = (
+                pdf["content"] if "content" in pdf else [None] * len(pdf)
             )
+            for path_uri, content in zip(paths, contents):
+                stream = _open_record_stream(path_uri, content)
+                rows = []
+                try:
+                    for headers, payload in _iter_warc_records(stream):
+                        rtype = headers.get("warc-type", "")
+                        url = headers.get("warc-target-uri")
+                        ts = _parse_warc_date(headers.get("warc-date"))
+                        if mode == "warc" and rtype == "response":
+                            html = _strip_http_envelope(payload)
+                            text = extract_text_from_html(html)
+                            lang = headers.get(
+                                "warc-identified-content-language"
+                            ) or _guess_lang(text)
+                            rows.append(
+                                (url, ts, html, text, lang.split(",")[0])
+                            )
+                        elif mode == "wet" and rtype == "conversion":
+                            text = payload.decode("utf-8", "replace")
+                            lang = headers.get(
+                                "warc-identified-content-language"
+                            ) or _guess_lang(text)
+                            rows.append(
+                                (url, ts, None, text, lang.split(",")[0])
+                            )
+                        if len(rows) >= _PAGES_PER_CHUNK:
+                            yield pd.DataFrame(
+                                rows,
+                                columns=[
+                                    "url", "warc_ts", "html", "text", "lang"
+                                ],
+                            )
+                            rows = []
+                finally:
+                    stream.close()
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                )
 
-    return files.select("content").mapInPandas(parse, schema=WARC_PAGE_SCHEMA)
+    return files.select(*cols).mapInPandas(parse, schema=WARC_PAGE_SCHEMA)
+
+
+def _is_local_glob(path_glob: str) -> bool:
+    """Local (or file:) globs can stream archives straight off disk —
+    object-store schemes must travel through the content column."""
+    return path_glob.startswith("file:") or "://" not in path_glob
 
 
 def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC files (optionally .gz) -> north-rule pages table."""
     files = spark.read.format("binaryFile").load(path_glob)
-    return _read_records_as_pages(files, "warc")
+    return _read_records_as_pages(
+        files, "warc", path_only=_is_local_glob(path_glob)
+    )
 
 
 def read_wet_pages(spark: SparkSession, path_glob: str) -> DataFrame:
     """WET (extracted-text) files -> pages table with html = NULL."""
     files = spark.read.format("binaryFile").load(path_glob)
-    return _read_records_as_pages(files, "wet")
+    return _read_records_as_pages(
+        files, "wet", path_only=_is_local_glob(path_glob)
+    )
 
 
 def stream_warc_pages(spark: SparkSession, dir_path: str) -> DataFrame:
@@ -241,7 +373,9 @@ def stream_warc_pages(spark: SparkSession, dir_path: str) -> DataFrame:
         .option("pathGlobFilter", "*.warc*")
         .load(dir_path)
     )
-    return _read_records_as_pages(files, "warc")
+    return _read_records_as_pages(
+        files, "warc", path_only=_is_local_glob(dir_path)
+    )
 
 
 JSONL_SCHEMA = StructType(

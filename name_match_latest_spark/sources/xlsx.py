@@ -86,6 +86,8 @@ def _cell_xml(ref: str, value, style: int = 0) -> str:
         return f'<c r="{ref}"{s}/>'
     if isinstance(value, bool):
         return f'<c r="{ref}"{s} t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
+        return f'<c r="{ref}"{s}/>'  # NaN/inf: <v>nan</v> is invalid OOXML
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"{s}><v>{value!r}</v></c>'
     if isinstance(value, (datetime.date, datetime.datetime)):
@@ -159,12 +161,16 @@ def write_matches_xlsx(
     driver-side (XLSX is a single local file by nature) with a
     ``max_rows`` cap — the capped count is reported on the Summary
     sheet so a truncated report is never mistaken for a full one.
-    Returns {"rows_written": n, "truncated": bool}.
+    Returns {"rows_written": n, "truncated": bool, "total_rows": N}
+    where ``total_rows`` is the REAL match count: when the cap hits,
+    one extra count() pass is paid so callers never report the cap
+    as the result (a 2M-pair run must not print "matches=100000").
     """
     max_rows = min(max_rows, XLSX_MAX_ROWS - 1)
     cols = matches.columns
     collected = matches.limit(max_rows + 1).collect()
     truncated = len(collected) > max_rows
+    total_rows = matches.count() if truncated else len(collected)
     rows = [tuple(r[c] for c in cols) for r in collected[:max_rows]]
 
     sheets: dict[str, tuple[Sequence[str], Iterable[Sequence]]] = {
@@ -177,7 +183,12 @@ def write_matches_xlsx(
             for c in summary.columns:
                 summary_rows.append((c, r[c]))
     summary_rows.append(("rows_in_sheet", len(rows)))
+    summary_rows.append(("total_matches", total_rows))
     summary_rows.append(("truncated_at_cap", truncated))
     sheets["Summary"] = (("metric", "value"), summary_rows)
     write_xlsx(path, sheets)
-    return {"rows_written": len(rows), "truncated": truncated}
+    return {
+        "rows_written": len(rows),
+        "truncated": truncated,
+        "total_rows": total_rows,
+    }

@@ -47,6 +47,7 @@ happens only on READ (``current_labels``/``cluster_members``) and in
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,6 +111,7 @@ class IncrementalClusterer:
         self.audit = AuditLog(os.path.join(state_dir, "audit"), "incremental-v1")
         self.dedup_threshold = dedup_threshold
         self.label_buckets = label_buckets
+        self._epochs: dict[str, int] = {}
         if dedup_threshold is not None:
             self.docs = SnapshotTable(os.path.join(state_dir, "docs"))
             self.docs_bands = SnapshotTable(os.path.join(state_dir, "docs_bands"))
@@ -129,8 +131,18 @@ class IncrementalClusterer:
 
     def cluster_members(self) -> DataFrame:
         """(node, url, mention_idx, cluster_id) — assignments joined
-        back to mention identity, same shape as cluster_pages."""
-        m = self.mentions.read(self.spark).select("id", "url", "mention_idx")
+        back to mention identity, same shape as cluster_pages.  A
+        stream that drained ZERO micro-batches (empty watched dir)
+        has no mentions snapshot yet — that is an empty result, not a
+        crash."""
+        try:
+            m = self.mentions.read(self.spark).select(
+                "id", "url", "mention_idx"
+            )
+        except FileNotFoundError:
+            return self.spark.createDataFrame(
+                [], "id long, url string, mention_idx int, cluster_id long"
+            )
         lab = self.current_labels()
         return m.join(lab, m.id == lab.node, "left").select(
             F.col("id"),
@@ -140,6 +152,60 @@ class IncrementalClusterer:
         )
 
     # --- write side ----------------------------------------------------------
+
+    def _lineage_epoch(self, lineage: str) -> int:
+        """Monotone epoch per checkpoint lineage, persisted under
+        ``labels/epochs/``.  Label-delta versions are
+        ``(epoch << 32) | batch_id``: batch ids restart at 0 under a
+        fresh checkpoint, and raw batch ids as versions would let the
+        OLD lineage's higher-version rows win ``resolve_labels``'
+        max_by forever — re-attached streams would silently keep stale
+        cluster assignments.  A new lineage's epoch strictly exceeds
+        every registered epoch AND the high 32 bits of any version
+        already in the log (covers state written before epochs
+        existed), so later lineages always supersede.  The file is
+        written atomically before first use; replays of the same
+        lineage reuse it."""
+        if lineage in self._epochs:
+            return self._epochs[lineage]
+        d = os.path.join(self.labels.path, "epochs")
+        p = os.path.join(d, f"{lineage}.json")
+        try:
+            with open(p) as f:
+                epoch = int(json.load(f)["epoch"])
+            self._epochs[lineage] = epoch
+            return epoch
+        except (FileNotFoundError, ValueError, KeyError):
+            pass
+        os.makedirs(d, exist_ok=True)
+        prior = -1
+        for name in os.listdir(d):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    prior = max(prior, int(json.load(f)["epoch"]))
+            except (ValueError, KeyError, OSError):
+                continue
+        # legacy state: versions committed before epochs existed carry
+        # epoch 0 implicitly in their high bits
+        try:
+            row = (
+                self.labels.read(self.spark).agg(F.max("version")).first()
+            )
+            if row is not None and row[0] is not None:
+                prior = max(prior, int(row[0]) >> 32)
+        except FileNotFoundError:
+            pass
+        epoch = prior + 1
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "lineage": lineage}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        self._epochs[lineage] = epoch
+        return epoch
 
     def _dedup_gate(
         self, pages: DataFrame, batch_id: int, lineage: str
@@ -170,7 +236,17 @@ class IncrementalClusterer:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        bands = minhash_bands(batch)
+        # computed ONCE per batch (eager checkpoint): the self-join
+        # below reads it twice, and the corpus band join + the final
+        # docs_bands append reuse it via cheap semi-join filters
+        # instead of re-running the minhash UDF over the batch texts
+        bands = minhash_bands(batch).localCheckpoint(eager=True)
+
+        def bands_of(surviving: DataFrame) -> DataFrame:
+            return bands.join(
+                F.broadcast(surviving.select("doc_id")), "doc_id", "left_semi"
+            )
+
         # 2. near-dup within the batch: verified pairs drop the larger id
         cand_w = (
             bands.alias("a")
@@ -215,7 +291,7 @@ class IncrementalClusterer:
                 batch_id, f"{lineage}:docs_bands"
             )
             corpus_bands = self.docs_bands.read(spark, bands_snap)
-            batch_bands = minhash_bands(batch)
+            batch_bands = bands_of(batch)
             cand = (
                 corpus_bands.join(
                     F.broadcast(batch_bands.withColumnRenamed("doc_id", "d1")),
@@ -237,7 +313,7 @@ class IncrementalClusterer:
         batch = batch.localCheckpoint(eager=True)
         self.docs.append(batch, batch_id=batch_id, query_id=f"{lineage}:docs")
         self.docs_bands.append(
-            minhash_bands(batch),
+            bands_of(batch),
             batch_id=batch_id,
             query_id=f"{lineage}:docs_bands",
         )
@@ -349,9 +425,12 @@ class IncrementalClusterer:
             new_edges, batch_id=batch_id, query_id=f"{lineage}:edges"
         )
 
+        # version monotone ACROSS checkpoint lineages, not just within
+        # one (a fresh checkpoint restarts batch ids at 0)
+        version = (self._lineage_epoch(lineage) << 32) | batch_id
         delta = self._merge_log_delta(
             new_edges, new_nodes=prepared.select("id")
-        ).withColumn("version", F.lit(batch_id).cast("long"))
+        ).withColumn("version", F.lit(version).cast("long"))
         delta_snap = self.labels.append(
             delta,
             batch_id=batch_id,
@@ -370,7 +449,7 @@ class IncrementalClusterer:
                 n_new_edges=new_edges.count(),
                 n_label_changes=self.labels.read(
                     spark, delta_snap
-                ).filter(F.col("version") == batch_id).count(),
+                ).filter(F.col("version") == version).count(),
                 duration_sec=_time.time() - t0,
             )
 
@@ -495,12 +574,13 @@ class IncrementalClusterer:
         lineage is derived from the checkpoint dir: batch ids restart
         at 0 under a fresh checkpoint, and scoping the watermark per
         lineage keeps a re-attached stream's batch 0 from being
-        silently dropped by the old lineage's high-water mark."""
-        import hashlib
+        silently dropped by the old lineage's high-water mark.  The
+        dir is canonicalized before hashing (``checkpoint_lineage``):
+        a different spelling of the same physical checkpoint must not
+        become a new lineage or replays escape dedup."""
+        from .stream_match import checkpoint_lineage
 
-        lineage = hashlib.md5(
-            checkpoint_dir.rstrip("/").encode("utf-8")
-        ).hexdigest()[:16]
+        lineage = checkpoint_lineage(checkpoint_dir)
         return (
             pages_stream.writeStream.foreachBatch(
                 lambda df, bid: self.process_batch(df, bid, lineage=lineage)

@@ -28,12 +28,29 @@ from ..operators.persons import prepare_persons
 from ..operators.scoring import score_pairs
 
 __all__ = [
+    "checkpoint_lineage",
     "stream_match_against_static",
     "stream_dedup_against_corpus",
     "stream_to_snapshot_table",
     "events_windowed_counts",
     "stateful_entity_counts",
 ]
+
+
+def checkpoint_lineage(checkpoint_dir: str) -> str:
+    """Stable exactly-once lineage id for a checkpoint directory.
+
+    Canonicalized (realpath) before hashing: the SAME physical
+    checkpoint addressed via a different spelling (relative vs
+    absolute path, symlink, different cwd) must stay ONE lineage —
+    otherwise a crashed micro-batch replayed from it lands in a
+    "new" lineage, escapes batch-id dedup, and double-appends."""
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        os.path.realpath(os.path.abspath(checkpoint_dir)).encode("utf-8")
+    ).hexdigest()[:16]
 
 
 def stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: str):
@@ -50,13 +67,10 @@ def stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: str):
     Batch ids are only meaningful per checkpoint lineage, so the
     idempotence key is (checkpoint dir, batch_id): a rerun FROM THE
     SAME checkpoint replays the same ids and is deduped; a fresh
-    checkpoint is a new lineage whose batch 0 must commit.
+    checkpoint is a new lineage whose batch 0 must commit (see
+    ``checkpoint_lineage`` for why the dir is canonicalized first).
     """
-    import hashlib
-
-    lineage = hashlib.md5(
-        checkpoint_dir.rstrip("/").encode("utf-8")
-    ).hexdigest()[:16]
+    lineage = checkpoint_lineage(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table.append(batch_df, batch_id=batch_id, query_id=lineage)

@@ -349,3 +349,86 @@ def test_compaction_preserves_assignment(spark, tmp_path):
     if extra.count():
         c.process_batch(extra, batch_id=2)
         assert c.cluster_members().count() >= len(before)
+
+
+def test_fresh_lineage_labels_supersede(spark, tmp_path):
+    """Re-attaching with a FRESH checkpoint restarts batch ids at 0;
+    label-delta versions must stay monotone ACROSS lineages (epoch in
+    the high bits), or the new lineage's merges lose resolve_labels'
+    max_by to the old lineage's higher-batch-id rows and assignments
+    silently stay stale.  Asserts full label equality vs the batch
+    pipeline, not just counts."""
+    from name_match_latest_spark.plans.web_pipeline import cluster_pages
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    pages = generate_webpages(spark, 180, seed=51).localCheckpoint()
+
+    def split(lo, hi):
+        return pages.filter(
+            F.regexp_extract("url", r"/article/(\d+)$", 1)
+            .cast("int")
+            .between(lo, hi - 1)
+        ).localCheckpoint()
+
+    c = IncrementalClusterer(spark, str(tmp_path / "state"))
+    # lineage A commits versions up to batch_id=1 ...
+    c.process_batch(split(0, 60), batch_id=0, lineage="ckptA")
+    c.process_batch(split(60, 120), batch_id=1, lineage="ckptA")
+    # ... then the stream re-attaches with a fresh checkpoint: its
+    # batch 0 merges clusters whose members were last written at A's
+    # version 1 — with raw-batch-id versions those merges are lost
+    c.process_batch(split(120, 180), batch_id=0, lineage="ckptB")
+
+    got = _partition_of(
+        (r.id, r.cluster_id) for r in c.cluster_members().collect()
+    )
+    want = _partition_of(
+        (r.id, r.cluster_id) for r in cluster_pages(pages).collect()
+    )
+    assert got == want
+
+    # versions are distinct across the two lineages (no max_by ties)
+    versions = sorted(
+        r.version
+        for r in c.labels.read(spark).select("version").distinct().collect()
+    )
+    assert len(versions) == 3 and versions[-1] > (1 << 32) - 1
+
+
+def test_checkpoint_lineage_canonicalization(tmp_path, monkeypatch):
+    """Same physical checkpoint dir under different spellings is ONE
+    lineage (replays must stay deduped); different dirs differ."""
+    from name_match_latest_spark.streaming.stream_match import (
+        checkpoint_lineage,
+    )
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    monkeypatch.chdir(tmp_path)
+    assert checkpoint_lineage(str(d)) == checkpoint_lineage("ckpt")
+    assert checkpoint_lineage(str(d)) == checkpoint_lineage("ckpt/")
+    assert checkpoint_lineage(str(d)) == checkpoint_lineage(
+        str(tmp_path / "." / "ckpt")
+    )
+    link = tmp_path / "ckpt_link"
+    link.symlink_to(d)
+    assert checkpoint_lineage(str(link)) == checkpoint_lineage(str(d))
+    assert checkpoint_lineage(str(d)) != checkpoint_lineage(
+        str(tmp_path / "other")
+    )
+
+
+def test_cluster_members_empty_state(spark, tmp_path):
+    """Zero micro-batches drained (empty watched dir) -> empty members
+    frame with the right schema, not FileNotFoundError."""
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    c = IncrementalClusterer(spark, str(tmp_path / "state"))
+    out = c.cluster_members()
+    assert out.count() == 0
+    assert out.columns == ["id", "url", "mention_idx", "cluster_id"]

@@ -51,7 +51,9 @@ def test_featurize_deterministic(spark, media):
 
 
 def test_resize_stub_raises_at_execution(spark, media):
-    df = resize_images(media, 64, 64)  # plan construction must succeed
+    # JPEG only: PNG now has a real stdlib kernel (truncated PNGs fail
+    # with their own ValueError, not the PIL/opencv stub message)
+    df = resize_images(media.filter("media_id = 2"), 64, 64)
     assert [f.name for f in df.schema.fields] == ["media_id", "resized", "width", "height"]
     with pytest.raises(Exception, match="PIL|opencv"):
         df.collect()

@@ -123,3 +123,175 @@ def test_avi_media_kind(spark):
     got = {r.media_id: r.media_kind for r in attach_media_metadata(df).collect()}
     assert got[1] == "video/avi"
     assert got[2] == "audio/wav"
+
+
+# --- PNG (stdlib zlib kernel, new r4) ---------------------------------------
+
+
+def _png_chunk_raw(ctype, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _handmade_png(color, w, h, raw_scanlines, plte=None):
+    """Craft a PNG with explicit per-row filter bytes (tests the
+    unfilter paths our encoder never emits)."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = sig + _png_chunk_raw(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk_raw(b"PLTE", plte)
+    out += _png_chunk_raw(b"IDAT", zlib.compress(raw_scanlines))
+    return out + _png_chunk_raw(b"IEND", b"")
+
+
+def test_png_roundtrip():
+    import numpy as np
+
+    from name_match_latest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)  # BGR
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_all_filter_types():
+    """Sub/Up/Average/Paeth unfiltering, hand-checked against the
+    PNG spec recurrences on a 4x2 RGB image."""
+    import numpy as np
+
+    from name_match_latest_spark.operators.multimodal import decode_png
+
+    # reference image rows (RGB bytes), stride 6, bpp 3
+    r0 = np.array([10, 20, 30, 40, 50, 60], dtype=np.int64)
+    r1 = np.array([15, 25, 35, 45, 55, 65], dtype=np.int64)
+    r2 = np.array([100, 110, 120, 130, 140, 150], dtype=np.int64)
+    r3 = np.array([200, 210, 220, 230, 240, 250], dtype=np.int64)
+
+    def sub_filter(row):
+        out = row.copy()
+        out[3:] = (row[3:] - row[:-3]) % 256
+        return out
+
+    def up_filter(row, prev):
+        return (row - prev) % 256
+
+    def avg_filter(row, prev):
+        out = row.copy()
+        for x in range(6):
+            left = row[x - 3] if x >= 3 else 0
+            out[x] = (row[x] - (left + prev[x]) // 2) % 256
+        return out
+
+    def paeth_filter(row, prev):
+        out = row.copy()
+        for x in range(6):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (row[x] - pred) % 256
+        return out
+
+    raw = (
+        b"\x01" + bytes(sub_filter(r0).astype(np.uint8))
+        + b"\x02" + bytes(up_filter(r1, r0).astype(np.uint8))
+        + b"\x03" + bytes(avg_filter(r2, r1).astype(np.uint8))
+        + b"\x04" + bytes(paeth_filter(r3, r2).astype(np.uint8))
+    )
+    img = decode_png(_handmade_png(2, 2, 4, raw))  # BGR out
+    want_rgb = np.stack([r0, r1, r2, r3]).reshape(4, 2, 3).astype(np.uint8)
+    assert (img == want_rgb[:, :, ::-1]).all()
+
+
+def test_png_color_types():
+    import numpy as np
+
+    from name_match_latest_spark.operators.multimodal import decode_png
+
+    # grayscale 2x2
+    g = decode_png(_handmade_png(0, 2, 2, b"\x00\x10\x20\x00\x30\x40"))
+    assert (g[:, :, 0] == [[0x10, 0x20], [0x30, 0x40]]).all()
+    assert (g[:, :, 0] == g[:, :, 1]).all() and (g[:, :, 1] == g[:, :, 2]).all()
+
+    # gray+alpha: alpha dropped
+    ga = decode_png(
+        _handmade_png(4, 2, 1, b"\x00\x10\xff\x20\x80")
+    )
+    assert (ga[0, :, 0] == [0x10, 0x20]).all()
+
+    # RGBA: alpha dropped, channels preserved (BGR out)
+    rgba = decode_png(
+        _handmade_png(6, 1, 1, b"\x00\x0a\x0b\x0c\xff")
+    )
+    assert tuple(rgba[0, 0]) == (0x0C, 0x0B, 0x0A)
+
+    # palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    pal = decode_png(_handmade_png(3, 3, 1, b"\x00\x00\x01\x02", plte=plte))
+    assert tuple(pal[0, 0]) == (0, 0, 255)  # red in BGR
+    assert tuple(pal[0, 1]) == (0, 255, 0)
+    assert tuple(pal[0, 2]) == (255, 0, 0)
+
+
+def test_png_interlaced_raises():
+    import struct
+
+    import pytest
+
+    from name_match_latest_spark.operators.multimodal import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    payload = (
+        sig
+        + _png_chunk_raw(b"IHDR", ihdr)
+        + _png_chunk_raw(b"IDAT", b"x" * 20)
+        + _png_chunk_raw(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(payload)
+
+
+def test_png_featurize_and_resize_distributed(spark):
+    import numpy as np
+
+    from name_match_latest_spark.operators.multimodal import (
+        decode_and_featurize,
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (20, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "media_id long, payload binary"
+    )
+    feats = decode_and_featurize(df).collect()[0].features
+    assert feats[0] == 1.0  # REAL image-stats path, not the md5 fake
+    assert feats[1] == pytest.approx(16 / 65535.0)
+    assert feats[2] == pytest.approx(20 / 65535.0)
+
+    out = resize_images(df, 8, 10).collect()[0]
+    assert (out.width, out.height) == (8, 10)
+    resized = decode_png(bytes(out.resized))
+    assert resized.shape == (10, 8, 3)
+    # nearest-neighbor: every resized pixel exists in the source
+    src = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in resized.reshape(-1, 3))

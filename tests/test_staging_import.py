@@ -223,3 +223,50 @@ def test_staging_dir_name_is_path_safe():
     assert "/" not in staging_dir_name("a/b/c")
     with pytest.raises(ValueError):
         staging_dir_name("///")
+
+
+def test_update_policy_null_id_rows_not_dropped(spark, tmp_path):
+    """A NULL duplicate key (duplicate_key='id' with a null id,
+    reachable with allow_invalid=True) must still be imported:
+    NULL never equals itself in the dedup joins, so an un-coalesced
+    key silently dropped such rows."""
+    from name_match_latest_spark.sources.staging import ImportPolicy, staged_import
+    from name_match_latest_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    staged_import(spark, _df(spark, GOOD), t, job_id="job1")
+
+    rows = [
+        (None, "zn", "nilo", "reyes", _d(1992, 7, 8)),  # null id
+        (41, "u41", "lea", "salonga", _d(1971, 2, 22)),
+    ]
+    r = staged_import(
+        spark,
+        _df(spark, rows),
+        t,
+        job_id="job2",
+        policy=ImportPolicy(duplicate_behavior="update"),
+        allow_invalid=True,
+    )
+    assert r["status"] == "committed"
+    out = t.read(spark)
+    assert out.count() == 5
+    assert out.filter(out.uuid == "zn").count() == 1
+
+    # and 'skip' keeps exactly one row per (null) key rather than zero
+    rows2 = [
+        (None, "zm", "mira", "cruz", _d(1993, 8, 9)),
+        (None, "zo", "otto", "cruz", _d(1994, 9, 10)),
+    ]
+    r2 = staged_import(
+        spark,
+        _df(spark, rows2),
+        t,
+        job_id="job3",
+        policy=ImportPolicy(duplicate_behavior="skip"),
+        allow_invalid=True,
+    )
+    assert r2["status"] == "committed"
+    # both new null-id rows share the coalesced key with job2's null-id
+    # row already in the table -> skip imports neither
+    assert t.read(spark).count() == 5

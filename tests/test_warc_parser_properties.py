@@ -85,3 +85,100 @@ def test_guess_lang_defaults_to_en_on_zero_hits():
 
     assert _guess_lang("zzz qqq xxx nothing matches") == "en"
     assert _guess_lang("der und das von ist") == "de"
+
+
+def test_iter_warc_records_streaming_large_payload():
+    """Payloads larger than the 64 KiB read chunk must arrive intact
+    through the record-at-a-time stream reader."""
+    import io
+
+    from name_match_latest_spark.sources.warc import (
+        _iter_warc_records,
+        _warc_record,
+    )
+    from datetime import datetime
+
+    big = bytes(range(256)) * 1024  # 256 KiB binary payload
+    rec1 = _warc_record("response", "http://a/1", datetime(2024, 1, 1), big)
+    rec2 = _warc_record(
+        "response", "http://a/2", datetime(2024, 1, 1), b"tiny"
+    )
+    out = list(_iter_warc_records(io.BytesIO(rec1 + rec2)))
+    assert len(out) == 2
+    assert out[0][1] == big
+    assert out[1][1] == b"tiny"
+
+
+def test_iter_warc_records_truncated_final_payload():
+    """EOF mid-payload yields the truncated record (buffer-parser
+    contract) and stops."""
+    import io
+
+    from name_match_latest_spark.sources.warc import _iter_warc_records
+
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 100\r\n\r\n"
+        b"only-20-bytes-here!!"
+    )
+    out = list(_iter_warc_records(io.BytesIO(raw)))
+    assert len(out) == 1
+    assert out[0][1] == b"only-20-bytes-here!!"
+
+
+def test_gz_archive_streams_incrementally(tmp_path):
+    """A .gz archive parses identically through the streaming wrapper
+    and chunked Arrow yields (many records > _PAGES_PER_CHUNK)."""
+    from datetime import datetime
+
+    from name_match_latest_spark.sources.warc import (
+        _PAGES_PER_CHUNK,
+        _parse_warc_records,
+        write_warc,
+    )
+
+    n = _PAGES_PER_CHUNK + 50
+    pages = [
+        (
+            f"http://ex.com/{i}",
+            datetime(2024, 1, 1),
+            f"<html><body>doc {i}</body></html>".encode(),
+            "en",
+        )
+        for i in range(n)
+    ]
+    p = tmp_path / "big.warc.gz"
+    assert write_warc(str(p), pages) == n
+    got = list(_parse_warc_records(p.read_bytes()))
+    assert len(got) == n
+    assert all(h.get("warc-type") == "response" for h, _ in got)
+
+
+def test_local_glob_prunes_content_column(spark, tmp_path):
+    """Local/file: globs must read path-only: the binaryFile scan's
+    ReadSchema should not include the content column (the whole point
+    of the streaming-from-disk mode)."""
+    from datetime import datetime
+
+    from name_match_latest_spark.sources.warc import (
+        read_warc_pages,
+        write_warc,
+    )
+
+    p = tmp_path / "one.warc.gz"
+    write_warc(
+        str(p),
+        [
+            (
+                "http://ex.com/a",
+                datetime(2024, 1, 1),
+                b"<html><body>Maria Santos was born on 1990-01-02.</body></html>",
+                "en",
+            )
+        ],
+    )
+    df = read_warc_pages(spark, str(tmp_path / "*.warc.gz"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan.lower().split("readschema")[-1][:200]
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].url == "http://ex.com/a"
+    assert b"Maria Santos" in bytes(rows[0].html)

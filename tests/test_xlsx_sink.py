@@ -87,7 +87,7 @@ def test_write_matches_xlsx(spark, tmp_path):
     summary = run_summary(spark, 10, 12, matches, time.time(), "algo3")
     p = str(tmp_path / "matches.xlsx")
     res = write_matches_xlsx(matches, p, summary=summary)
-    assert res == {"rows_written": 2, "truncated": False}
+    assert res == {"rows_written": 2, "truncated": False, "total_rows": 2}
 
     cells = _sheet_cells(p, 1)
     assert cells["D1"] == "case_label"
@@ -110,7 +110,32 @@ def test_truncation_cap_reported(spark, tmp_path):
     p = str(tmp_path / "cap.xlsx")
     res = write_matches_xlsx(df, p, max_rows=10)
     assert res["rows_written"] == 10 and res["truncated"] is True
+    assert res["total_rows"] == 50  # the REAL count, not the cap
     s = _sheet_cells(p, 2)
-    vals = {s[f"A{r}"]: s[f"B{r}"] for r in (2, 3)}
+    vals = {s[f"A{r}"]: s[f"B{r}"] for r in (2, 3, 4)}
     assert vals["rows_in_sheet"] == "10"
+    assert vals["total_matches"] == "50"
     assert vals["truncated_at_cap"] == "1"
+
+
+def test_nan_inf_cells_are_empty(tmp_path):
+    """float NaN/inf must emit an EMPTY cell: <v>nan</v> is invalid
+    OOXML and breaks Excel/openpyxl parsing."""
+    from name_match_latest_spark.sources.xlsx import write_xlsx
+
+    p = str(tmp_path / "nan.xlsx")
+    write_xlsx(
+        p,
+        {
+            "S": (
+                ("a", "b", "c", "d"),
+                [(float("nan"), float("inf"), float("-inf"), 1.5)],
+            )
+        },
+    )
+    import zipfile
+
+    xml = zipfile.ZipFile(p).read("xl/worksheets/sheet1.xml").decode()
+    assert "nan" not in xml and "inf" not in xml
+    cells = _sheet_cells(p, 1)
+    assert cells.get("A2") is None and cells.get("D2") == "1.5"
