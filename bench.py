@@ -42,16 +42,20 @@ def main() -> None:
         "algo2",
         "algo3_full",       # blocked fuzzy + full cascade (with middle)
         "algo4_full",       # birthdate-blocked fuzzy (no middle)
+        "algo4_alt",        # algo3-style blocking on no-middle cascade (round 4)
         "algo7",            # OR-blocked lev-weighted
         "cascade_l1",
         "cascade_l10",
+        "cascade_l11",      # no-middle fuzzy level, swap forced off (round 4)
         "households_opt5",  # window argmax + group agg
         "entity_clusters",  # connected components
         "dedup_minhash_lsh",
         "dedup_token_jaccard",
         "dedup_ngram_jaccard",  # round 3
+        "dedup_cluster_reps",   # near-dup CC + canonical rep (round 4)
         "text_quality",
         "ann_topk",
+        "ann_topk_l2",      # Euclidean metric (round 4)
         "ann_ivf",              # round 3
         "agg_pricing",
         "window_argmax",

@@ -688,6 +688,54 @@ def _dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dedup_cluster_reps",
+    f"""
+WITH RECURSIVE toks AS (
+  SELECT d.doc_id, d.lang,
+         list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '') tl
+  FROM documents d),
+tok AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tl) - 2, 0) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 2), ' ')))) AS tok
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id d1, b.doc_id d2, count(*) c
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+mp AS (
+  SELECT i.d1, i.d2
+  FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1 JOIN sizes s2 ON s2.doc_id = i.d2
+  WHERE i.c * 1.0 / (s1.n + s2.n - i.c) >= 0.4),
+edges AS (SELECT d1 AS s, d2 AS d FROM mp UNION SELECT d2, d1 FROM mp),
+vertices AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM vertices
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+csize AS (SELECT rep, count(*) AS n FROM comp GROUP BY rep)
+SELECT comp.node AS doc_id, comp.rep AS rep_id, csize.n AS cluster_size
+FROM comp JOIN csize ON csize.rep = comp.rep
+""",
+)
+def _dedup_cluster_reps(spark, sf_dir):
+    """Corpus-level near-dup clustering with canonical representative
+    selection: 3-gram-Jaccard-verified pairs -> connected components
+    -> (doc_id, rep_id = min doc_id in cluster, cluster_size).  The
+    oracle replays the pair metric then the same min-label transitive
+    closure as entity_clusters' recursive CTE."""
+    from .operators.dedup import dedup_cluster_reps
+
+    register_views(spark, sf_dir)
+    return dedup_cluster_reps(
+        spark.table("documents"), threshold=0.4, ngram=3, max_df=None
+    )
+
+
+@q(
     "dedup_exact",
     """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
@@ -955,6 +1003,44 @@ def _ann_topk(spark, sf_dir):
     )
 
 
+# 64 explicit left-to-right terms: the exact summation order of the
+# Spark side's sequential F.aggregate fold (float-identical ranks)
+_L2_TERMS = " + ".join(
+    f"(c.cv[{i}] - q.qv[{i}]) * (c.cv[{i}] - q.qv[{i}])" for i in range(1, 65)
+)
+
+
+@q(
+    "ann_topk_l2",
+    f"""
+WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id neighbor_id, embedding::DOUBLE[] cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, sqrt({_L2_TERMS}) AS distance
+  FROM c, q WHERE c.neighbor_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbor_id ASC) rank
+  FROM scored)
+SELECT query_id, neighbor_id, {_f6('distance')} AS distance, cast(rank AS INT) rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def _ann_topk_l2(spark, sf_dir):
+    """Euclidean top-k — the norm-sensitive complement of ann_topk
+    (same broadcast-queries / streaming-corpus shape)."""
+    from .operators.annsearch import l2_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    out = l2_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(F.col("distance") * 1e6) / 1e6).alias("distance"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # --- TPC-H operator shapes ----------------------------------------------------
 
 
@@ -1146,6 +1232,36 @@ def _algo4_full(spark, sf_dir):
     )
 
 
+@q(
+    "algo4_alt",
+    None if _DM_CTE is None else f"""{_PERSONS_CTE},
+{_DM_CTE},
+qa1 AS (SELECT q.*, {_A4_FULL_NM.format(p='q')} AS f FROM ({_A3_KEYS_A}) q),
+qb1 AS (SELECT q.*, {_A4_FULL_NM.format(p='q')} AS f FROM ({_A3_KEYS_B}) q),
+qa2 AS (SELECT qa1.*, coalesce(dm.code, '') AS dmc FROM qa1 LEFT JOIN dm ON dm.s = qa1.f),
+qb2 AS (SELECT qb1.*, coalesce(dm.code, '') AS dmc FROM qb1 LEFT JOIN dm ON dm.s = qb1.f),
+cand AS ({_pair_select('qa2', 'qb2', False)}
+  FROM qa2 JOIN qb2 ON qa2.yr = qb2.yr AND qa2.fi = qb2.fi AND qa2.li = qb2.li
+                   AND qa2.sx = qb2.sx AND qa2.birthdate = qb2.birthdate),
+{_score_cascade_sql('cand', no_middle=True)}
+""",
+)
+def _algo4_alt(spark, sf_dir):
+    """Algo 4 ALTERNATE blocking (match_fuzzy_no_mid_blocked_cpu,
+    mod.rs:2603-2745): the Algo-3-style (year, initials, soundex4)
+    primary block applied to the no-middle scoring cascade — present
+    for parity completeness with the reference's secondary CPU route."""
+    from .operators.algos import match_fuzzy_no_mid_blocked
+
+    t1, t2 = load_persons(spark, sf_dir)
+    out = match_fuzzy_no_mid_blocked(t1, t2, allow_swap=False)
+    return out.select(
+        "t1_id", "t2_id",
+        (F.floor(F.col("confidence") * 1e6) / 1e6).alias("confidence"),
+        "case_label",
+    )
+
+
 _L10_FULL = (
     "concat(coalesce({p}.first_name, ''), ' ', coalesce({p}.middle_name, ''), ' ', "
     "coalesce({p}.last_name, ''))"
@@ -1172,6 +1288,36 @@ def _cascade_l10(spark, sf_dir):
 
     t1, t2 = load_persons(spark, sf_dir)
     out = match_level(t1, t2, 10, threshold=0.8, allow_swap=True)
+    return out.select(
+        "t1_id", "t2_id",
+        (F.floor(F.col("confidence") * 1e6) / 1e6).alias("confidence"),
+        "case_label",
+    )
+
+
+@q(
+    "cascade_l11",
+    None if _DM_CTE is None else f"""{_PERSONS_CTE},
+{_DM_CTE},
+qa AS (SELECT pa.*, {_A4_FULL_NM.format(p='pa')} AS f FROM pa WHERE pa.birthdate IS NOT NULL),
+qb AS (SELECT pb.*, {_A4_FULL_NM.format(p='pb')} AS f FROM pb WHERE pb.birthdate IS NOT NULL),
+qa2 AS (SELECT qa.*, coalesce(dm.code, '') AS dmc FROM qa LEFT JOIN dm ON dm.s = qa.f),
+qb2 AS (SELECT qb.*, coalesce(dm.code, '') AS dmc FROM qb LEFT JOIN dm ON dm.s = qb.f),
+cand AS ({_pair_select('qa2', 'qb2', False)}
+  FROM qa2 JOIN qb2 ON qa2.birthdate = qb2.birthdate),
+{_score_cascade_sql('cand', no_middle=True, threshold=0.8)}
+""",
+)
+def _cascade_l11(spark, sf_dir):
+    """Cascade L11 (advanced_matcher.rs:396-420): the no-middle fuzzy
+    level — birthdate-blocked, swap HARD-FORCED OFF regardless of
+    config (the oracle therefore joins on plain birthdate equality),
+    threshold 0.8."""
+    from .operators.cascade import match_level
+
+    t1, t2 = load_persons(spark, sf_dir)
+    # allow_swap=True on purpose: L11 must force it off internally
+    out = match_level(t1, t2, 11, threshold=0.8, allow_swap=True)
     return out.select(
         "t1_id", "t2_id",
         (F.floor(F.col("confidence") * 1e6) / 1e6).alias("confidence"),

@@ -27,6 +27,8 @@ __all__ = [
     "ivf_centroids",
     "ivf_topk",
     "kmeans_refine",
+    "l2_col",
+    "l2_topk",
     "lsh_band_assignments",
     "lsh_bucket_assignments",
     "lsh_bucket_topk",
@@ -86,6 +88,57 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def l2_col(a: Column, b: Column) -> Column:
+    """Euclidean distance as a sequential element fold (same
+    summation order as the DuckDB oracle's explicit left-to-right
+    term list — float-exact across engines)."""
+    a, b = _to_double(a), _to_double(b)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def l2_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k EUCLIDEAN neighbors per query — the second metric
+    of the ANN family (L2 is the norm-sensitive complement of cosine:
+    embedding families that encode magnitude, e.g. un-normalized
+    doc2vec-style vectors, rank differently under it).  Same scale
+    shape as ``cosine_topk``: queries broadcast, corpus streams
+    map-side, per-query top-k via window — no corpus self-join."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.withColumn(
+        "distance", l2_col(F.col("_cvec"), F.col("_qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "distance", "rank")
     )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens_df",
     "exact_dedup",
+    "dedup_cluster_reps",
     "token_jaccard_pairs",
     "minhash_signatures",
     "minhash_signatures_wide",
@@ -223,6 +224,42 @@ def token_jaccard_pairs(
 #: Constants are md5-derived so the DuckDB oracle replays them as
 #: literals.
 MINHASH_P = (1 << 31) - 1
+
+
+def dedup_cluster_reps(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    ngram: int = 3,
+    max_df: float | str | None = "auto",
+) -> DataFrame:
+    """Corpus-level near-dup clustering: verified near-dup pairs ->
+    connected components -> one canonical representative (the minimum
+    doc_id) per cluster — the training-data "keep one copy per
+    near-dup family" operator (pair lists alone under-delete: A~B and
+    B~C must collapse to ONE kept doc even when A~C scores under the
+    threshold).
+
+    Returns (doc_id, rep_id, cluster_size) for every member of a
+    non-trivial cluster; downstream keeps ``rep_id == doc_id`` rows
+    and drops the rest.  Scale shape: the pair join is the df-spread
+    n-gram self-join with the ``max_df`` stop-shingle guard kept at
+    its "auto" default (the oracle query passes ``max_df=None``
+    explicitly to pin the exact unguarded metric, same split as
+    dedup_ngram_jaccard), CC is the O(log n) alternating-star loop
+    with the driver fast path — no all-pairs stage anywhere."""
+    from pyspark.sql.window import Window
+
+    from .clustering import connected_components
+
+    pairs = token_jaccard_pairs(docs, threshold, max_df=max_df, ngram=ngram)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    cc = connected_components(edges)
+    w = Window.partitionBy("component")
+    return cc.withColumn("cluster_size", F.count("*").over(w)).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("rep_id"),
+        "cluster_size",
+    )
 
 
 def minhash_params(k: int) -> list[tuple[int, int]]:

@@ -165,7 +165,11 @@ class IncrementalClusterer:
         already in the log (covers state written before epochs
         existed), so later lineages always supersede.  The file is
         written atomically before first use; replays of the same
-        lineage reuse it."""
+        lineage reuse it.  (Registration assumes the state dir's
+        usual single-writer discipline — two streams attaching NEW
+        checkpoints at the same instant could race the registry;
+        concurrent WRITERS to one state dir are already unsupported
+        at the snapshot-commit level.)"""
         if lineage in self._epochs:
             return self._epochs[lineage]
         d = os.path.join(self.labels.path, "epochs")

@@ -80,3 +80,28 @@ def test_band_assignment_shape(spark, emb):
     assert b.select("band_id").distinct().count() == 4
     # bucket strings are r=2 bits
     assert b.filter(F.length("bucket") != 2).count() == 0
+
+
+def test_l2_topk_matches_numpy(spark, emb):
+    """Euclidean top-k agrees with a numpy brute-force oracle (ranks
+    and distances), and broadcasts only the query side."""
+    from name_match_latest_spark.operators.annsearch import l2_topk
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    out = l2_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.distance))
+    assert set(got) == {0, 1, 2}
+    for qid, lst in got.items():
+        lst.sort()
+        q = vecs[qid]
+        want = sorted(
+            (float(np.sqrt(((v - q) ** 2).sum())), nid)
+            for nid, v in vecs.items()
+            if nid != qid
+        )[:5]
+        assert [n for _, n in want] == [n for _, n, _ in lst]
+        for (wd, _), (_, _, gd) in zip(want, lst):
+            assert gd == pytest.approx(wd, rel=1e-9)

@@ -82,3 +82,23 @@ def test_lang_partitions_candidates(spark):
     assert (
         token_jaccard_pairs(docs, threshold=0.1, max_df=None).count() == 0
     )
+
+
+def test_dedup_cluster_reps_transitive(spark):
+    """A~B and B~C collapse to ONE family even when A~C scores under
+    the threshold — the reason pair lists alone under-delete."""
+    from name_match_latest_spark.operators.dedup import dedup_cluster_reps
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mid = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    far = "nu xi gamma delta epsilon zeta eta theta iota lambda"
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (2, mid, "en"), (3, far, "en"), (4, other, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = dedup_cluster_reps(docs, threshold=0.5, ngram=3, max_df=None)
+    rows = {r.doc_id: (r.rep_id, r.cluster_size) for r in out.collect()}
+    # J(1,2)=7/9, J(2,3)=6/10 above 0.5; J(1,3)=5/11 below; 4 isolated
+    assert set(rows) == {1, 2, 3}
+    assert all(rep == 1 and size == 3 for rep, size in rows.values())
