@@ -7,11 +7,15 @@ with typed metadata alongside; transforms run as Arrow-batched
 Decode support (no PIL/ffmpeg in this container — these kernels are
 pure stdlib ``struct``/``zlib`` + numpy, i.e. REAL decodes, not stubs):
 
-* images — uncompressed 24-bit BMP AND 8-bit non-interlaced PNG
+* images — uncompressed 24-bit BMP, 8-bit non-interlaced PNG
   (DEFLATE via stdlib zlib; gray/gray+alpha/RGB/RGBA/palette, all five
-  scanline filters): decode, nearest-neighbor resize, re-encode.
+  scanline filters) AND GIF87a/89a (first frame; full variable-width
+  LZW decode incl. interlaced frames): decode, nearest-neighbor
+  resize, re-encode (GIF re-encodes via an adaptive median-cut-free
+  palette only when the resized frame has <=256 colors — true for
+  nearest-neighbor output of a GIF input — else falls back to PNG).
   JPEG (and Adam7-interlaced PNG) raise at execution time with a
-  clear message: those codecs genuinely need PIL/opencv.
+  clear message: that codec genuinely needs PIL/opencv.
 * audio  — RIFF/WAVE PCM16: real sample decode -> duration/RMS/ZCR/
   peak features.
 * video  — uncompressed RIFF/AVI ('00db' DIB frames): real frame
@@ -59,6 +63,8 @@ __all__ = [
     "encode_bmp",
     "decode_png",
     "encode_png",
+    "decode_gif",
+    "encode_gif",
     "decode_wav_pcm16",
 ]
 
@@ -258,6 +264,201 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+# --- GIF (stdlib LZW kernel) --------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF variable-width LZW decode (LSB-first bit packing, clear /
+    EOI codes, 12-bit cap with deferred clear)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    code_size = min_code_size + 1
+    out = bytearray()
+    bitpos, nbits = 0, len(data) * 8
+    prev: bytes | None = None
+    while bitpos + code_size <= nbits and len(out) < n_pixels:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(init)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW stream")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """GIF LZW encode, bit-exact mirror of the decoder's table/width
+    schedule (table reset via clear code at the 4096 cap)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur, nbits = 0, 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def reset():
+        return {(i,): i for i in range(clear)}
+
+    table = reset()
+    next_code = eoi + 1
+    emit(clear)
+    prev: tuple = ()
+    for px in indices:
+        cand = prev + (int(px),)
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the DECODER's table lags this one by exactly one add (it
+            # reconstructs entry k while processing the k+1-th code),
+            # so its width bump lands one emit later — mirror that
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = reset()
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        prev = (int(px),)
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a FIRST frame -> (H, W, 3) uint8 BGR (the
+    decode_bmp/decode_png contract).  Real variable-width LZW decode,
+    local/global color tables, interlaced frames de-multiplexed;
+    extensions (incl. animation control) are skipped — frame 1 is the
+    representative for featurize/resize, matching how training
+    pipelines treat animated media."""
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + len-prefixed sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_cs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(min_cs, bytes(data), w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            arr = np.frombuffer(idx[: w * h], np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    order.extend(range(start, h, step))
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            rgb = pal[np.minimum(arr, len(pal) - 1)]
+            return rgb[:, :, ::-1].copy()
+        elif block == 0x3B:  # trailer
+            break
+        elif block == 0x00:  # stray terminator padding
+            continue
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 BGR -> single-frame GIF89a.  Requires <=256
+    distinct colors (raises ValueError otherwise — GIF is a palette
+    format; resize_images falls back to PNG for such frames)."""
+    h, w = img.shape[:2]
+    rgb = np.ascontiguousarray(img[:, :, ::-1], dtype=np.uint8).reshape(-1, 3)
+    colors, idx = np.unique(rgb, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif requires <= 256 distinct colors")
+    size_exp = max(1, (max(len(colors) - 1, 1)).bit_length())
+    n_pal = 1 << size_exp
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_cs = max(2, size_exp)
+    lzw = _gif_lzw_encode(min_cs, idx.astype(np.int64))
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_exp - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_cs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     h, w = img.shape[:2]
     yi = (np.arange(height) * h) // height
@@ -348,8 +549,16 @@ def auto_featurize(payload: bytes) -> list[float]:
     1.0 = image stats, 0.5 = audio stats, fallback = md5[0]/255."""
     payload = payload or b""
     try:
-        if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
-            decode = decode_bmp if payload[:2] == b"BM" else decode_png
+        if (
+            payload[:2] == b"BM"
+            or payload[:8] == _PNG_SIG
+            or payload[:4] == b"GIF8"
+        ):
+            decode = (
+                decode_bmp
+                if payload[:2] == b"BM"
+                else (decode_png if payload[:8] == _PNG_SIG else decode_gif)
+            )
             img = decode(payload).astype(np.float64) / 255.0
             h, w = img.shape[:2]
             means = img.reshape(-1, 3).mean(axis=0)
@@ -433,13 +642,21 @@ def resize_images(
                     decode, encode = decode_bmp, encode_bmp
                 elif payload[:8] == _PNG_SIG:
                     decode, encode = decode_png, encode_png
+                elif payload[:4] == b"GIF8":
+                    decode, encode = decode_gif, encode_gif
                 else:
                     raise NotImplementedError(
-                        "non-BMP/PNG image resize requires PIL/opencv, "
-                        "unavailable in this container (BMP and 8-bit "
-                        "non-interlaced PNG decode here)"
+                        "non-BMP/PNG/GIF image resize requires PIL/opencv, "
+                        "unavailable in this container (BMP, 8-bit "
+                        "non-interlaced PNG, and GIF decode here)"
                     )
-                out.append(encode(_resize_nearest(decode(payload), width, height)))
+                resized = _resize_nearest(decode(payload), width, height)
+                try:
+                    out.append(encode(resized))
+                except ValueError:
+                    # >256-color frame cannot round-trip to GIF —
+                    # fall back to lossless PNG rather than quantize
+                    out.append(encode_png(resized))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

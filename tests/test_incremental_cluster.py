@@ -432,3 +432,29 @@ def test_cluster_members_empty_state(spark, tmp_path):
     out = c.cluster_members()
     assert out.count() == 0
     assert out.columns == ["id", "url", "mention_idx", "cluster_id"]
+
+
+def test_backfill_batch_shuffle_fallback(spark, tmp_path, monkeypatch):
+    """A batch above BROADCAST_BATCH_MAX must take the shuffle-join
+    corpus match (broadcasting a huge backfill would OOM the driver)
+    and still produce the batch pipeline's exact clusters."""
+    from name_match_latest_spark.plans.web_pipeline import cluster_pages
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming import incremental_cluster as ic
+
+    monkeypatch.setattr(ic, "BROADCAST_BATCH_MAX", 10)  # force fallback
+    pages = generate_webpages(spark, 160, seed=53).localCheckpoint()
+    b1 = pages.limit(80).localCheckpoint()
+    b2 = pages.subtract(b1).localCheckpoint()
+
+    c = ic.IncrementalClusterer(spark, str(tmp_path / "state"))
+    c.process_batch(b1, batch_id=0)
+    c.process_batch(b2, batch_id=1)  # corpus match runs as shuffle join
+
+    got = _partition_of(
+        (r.id, r.cluster_id) for r in c.cluster_members().collect()
+    )
+    want = _partition_of(
+        (r.id, r.cluster_id) for r in cluster_pages(pages).collect()
+    )
+    assert got == want

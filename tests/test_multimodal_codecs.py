@@ -295,3 +295,98 @@ def test_png_featurize_and_resize_distributed(spark):
     # nearest-neighbor: every resized pixel exists in the source
     src = {tuple(p) for p in img.reshape(-1, 3)}
     assert all(tuple(p) in src for p in resized.reshape(-1, 3))
+
+
+# --- GIF (stdlib LZW kernel, new r4) ----------------------------------------
+
+
+def test_gif_roundtrip_small_palette():
+    import numpy as np
+
+    from name_match_latest_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    palette = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 17, (23, 31))]  # BGR
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_roundtrip_code_width_growth_and_clear():
+    """A large 250-color frame grows the LZW table past every code
+    width up to the 4096 cap, exercising the clear/reset path in both
+    encoder and decoder."""
+    import numpy as np
+
+    from name_match_latest_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, (250, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 250, (120, 150))]
+    enc = encode_gif(img)
+    assert (decode_gif(enc) == img).all()
+
+
+def test_gif_interlaced_decode():
+    """Interlaced frames store rows in 4 passes (8/8, 4/8, 2/4, 1/2
+    offsets); the decoder must de-multiplex them."""
+    import struct
+
+    import numpy as np
+
+    from name_match_latest_spark.operators.multimodal import (
+        _GIF_INTERLACE_PASSES,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 8, (13, 7))]
+    h = img.shape[0]
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    permuted = img[order]  # rows in pass (storage) order
+    raw = bytearray(encode_gif(permuted))
+    # image descriptor starts after header(6)+LSD(7)+GCT; set interlace
+    n_pal = 2 << ((raw[10] & 0x07))
+    desc = 13 + 3 * n_pal
+    assert raw[desc] == 0x2C
+    raw[desc + 9] |= 0x40
+    assert (decode_gif(bytes(raw)) == img).all()
+
+
+def test_gif_featurize_and_resize_distributed(spark):
+    import numpy as np
+
+    from name_match_latest_spark.operators.multimodal import (
+        decode_gif,
+        decode_png,
+        decode_and_featurize,
+        encode_gif,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(21)
+    palette = rng.integers(0, 256, (30, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 30, (20, 16))]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(img)))], "media_id long, payload binary"
+    )
+    feats = decode_and_featurize(df).collect()[0].features
+    assert feats[0] == 1.0  # REAL image-stats path
+
+    out = resize_images(df, 8, 10).collect()[0]
+    resized = bytes(out.resized)
+    # nearest-neighbor of a GIF stays <=256 colors -> GIF out
+    assert resized[:4] == b"GIF8"
+    dec = decode_gif(resized)
+    assert dec.shape == (10, 8, 3)
+    src = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in dec.reshape(-1, 3))
