@@ -58,3 +58,18 @@ def test_webcli_stream_mode(spark, tmp_path):
     assert webcli.run([wdir, out, "--stream-state", state]) == 0
     got = spark.read.parquet(out)
     assert got.count() == cluster_pages(pages).count()
+
+
+def test_stream_mode_empty_watched_dir(spark, tmp_path):
+    """Zero micro-batches (no WARC files dropped yet) must produce an
+    empty members output, not crash on a missing mentions snapshot."""
+    import os
+
+    from name_match_latest_spark import webcli
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    assert webcli.run([str(src), out, "--stream-state", state]) == 0
+    assert spark.read.parquet(out).count() == 0
