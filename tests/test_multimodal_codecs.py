@@ -390,3 +390,62 @@ def test_gif_featurize_and_resize_distributed(spark):
     assert dec.shape == (10, 8, 3)
     src = {tuple(p) for p in img.reshape(-1, 3)}
     assert all(tuple(p) in src for p in dec.reshape(-1, 3))
+
+
+def test_gif_png_roundtrip_properties():
+    """Property fuzz: random palette sizes (incl. the 2-color floor
+    and 256 ceiling), random dims, both codecs roundtrip exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from name_match_latest_spark.operators.multimodal import (
+        decode_gif,
+        decode_png,
+        encode_gif,
+        encode_png,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_colors=st.sampled_from([1, 2, 3, 16, 17, 64, 255, 256]),
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+    )
+    def run(seed, n_colors, w, h):
+        rng = np.random.default_rng(seed)
+        palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        img = palette[rng.integers(0, n_colors, (h, w))]
+        assert (decode_gif(encode_gif(img)) == img).all()
+        assert (decode_png(encode_png(img)) == img).all()
+
+    run()
+
+
+def test_gif_lzw_stream_fuzz():
+    """Raw LZW layer fuzz: arbitrary index streams over arbitrary
+    alphabet sizes encode/decode to the identical sequence."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from name_match_latest_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        min_cs=st.integers(2, 8),
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(1, 5000),
+    )
+    def run(min_cs, seed, n):
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, 1 << min_cs, n, dtype=np.int64)
+        enc = _gif_lzw_encode(min_cs, idx)
+        dec = _gif_lzw_decode(min_cs, enc, n)
+        assert np.array_equal(np.frombuffer(dec, np.uint8), idx.astype(np.uint8))
+
+    run()
