@@ -54,6 +54,46 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _brute_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    metric_name: str,
+    metric_fn,
+    ascending: bool,
+) -> DataFrame:
+    """Shared exact-top-k scaffolding for the brute-force ANN metrics:
+    queries broadcast, corpus streams map-side through the join, self
+    match excluded, per-query top-k via window (WindowGroupLimit
+    applies the partial top-k BEFORE the exchange — see
+    docs/PLANS.md).  One implementation so the self-exclusion,
+    broadcast strategy, and tie-break contract cannot diverge between
+    metrics."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.withColumn(
+        metric_name, metric_fn(F.col("_cvec"), F.col("_qvec"))
+    )
+    order = F.asc(metric_name) if ascending else F.desc(metric_name)
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", metric_name, "rank")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -67,27 +107,9 @@ def cosine_topk(
     side streams — this is a map-side join + per-query top-k via
     window, no corpus self-join.
     """
-    from pyspark.sql import Window
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = scored.withColumn(
-        "cosine", cosine_col(F.col("_cvec"), F.col("_qvec"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _brute_topk(
+        embeddings, queries, k, id_col, vec_col,
+        "cosine", cosine_col, ascending=False,
     )
 
 
@@ -116,29 +138,11 @@ def l2_topk(
     of the ANN family (L2 is the norm-sensitive complement of cosine:
     embedding families that encode magnitude, e.g. un-normalized
     doc2vec-style vectors, rank differently under it).  Same scale
-    shape as ``cosine_topk``: queries broadcast, corpus streams
-    map-side, per-query top-k via window — no corpus self-join."""
-    from pyspark.sql import Window
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = scored.withColumn(
-        "distance", l2_col(F.col("_cvec"), F.col("_qvec"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("distance"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "distance", "rank")
+    shape as ``cosine_topk`` via the shared ``_brute_topk``
+    scaffolding."""
+    return _brute_topk(
+        embeddings, queries, k, id_col, vec_col,
+        "distance", l2_col, ascending=True,
     )
 
 

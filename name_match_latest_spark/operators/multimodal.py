@@ -230,7 +230,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 3:  # palette -> RGB
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        img = plte[img[:, :, 0]]
+        # clamp like decode_gif: an out-of-range index in a corrupt
+        # payload must not IndexError past featurize's fallback catch
+        img = plte[np.minimum(img[:, :, 0], len(plte) - 1)]
     elif color == 0:  # gray
         img = np.repeat(img, 3, axis=2)
     elif color == 4:  # gray+alpha

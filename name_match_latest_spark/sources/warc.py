@@ -123,7 +123,14 @@ def _iter_warc_records(stream):
                 # found separator after the skip is a real block
                 break
             if len(buf) > _MAX_HEADER_BLOCK:
-                return  # unframed garbage: no header in sight
+                # unframed garbage run (e.g. a record whose
+                # Content-Length understated its payload): keep
+                # scanning for the NEXT record's header with a
+                # bounded SLIDING window — the buffer parser this
+                # replaced scanned ahead unboundedly and could
+                # resynchronize, so giving up here would silently
+                # drop every later record; memory stays O(window)
+                buf = buf[-65536:]
             chunk = stream.read(65536)
             if not chunk:
                 return  # EOF before a complete header block
@@ -133,13 +140,21 @@ def _iter_warc_records(stream):
             if ":" in line:
                 k, _, v = line.partition(":")
                 headers[k.strip().lower()] = v.strip()
+        body_start = hdr_end + sep_len
         try:
             length = int(headers.get("content-length", ""))
+            if length < 0:
+                raise ValueError
         except ValueError:
-            return  # unframed record: cannot recover record boundaries
-        if length < 0:
-            return  # corrupt length: refuse rather than mis-frame
-        body_start = hdr_end + sep_len
+            # unframed/corrupt block (garbage run, negative or missing
+            # Content-Length — e.g. the wake of a record that
+            # understated its payload): skip past this block's
+            # separator and keep scanning for the next real header —
+            # returning here would silently drop every later record
+            # in the archive.  Valid records are never rescanned this
+            # way (their payloads are jumped by Content-Length).
+            buf = buf[body_start:]
+            continue
         payload = buf[body_start : body_start + length]
         buf = buf[body_start + length :]
         missing = length - len(payload)
@@ -237,6 +252,22 @@ def _local_path_of(uri: str) -> str | None:
     return None
 
 
+class _OwningGzipFile(gzip.GzipFile):
+    """GzipFile.close() never closes a caller-supplied fileobj; this
+    variant owns it — without it, path-only reads of many archives
+    leak one OS file descriptor each until GC (EMFILE on big globs)."""
+
+    def __init__(self, fileobj):
+        super().__init__(fileobj=fileobj)
+        self._owned_fileobj = fileobj
+
+    def close(self):
+        try:
+            super().close()
+        finally:
+            self._owned_fileobj.close()
+
+
 def _open_record_stream(path_uri: str | None, content):
     """Best available record stream for one archive: stream straight
     from the local file when the path resolves (ZERO whole-file
@@ -248,7 +279,7 @@ def _open_record_stream(path_uri: str | None, content):
         f = open(local, "rb")
         if f.read(2) == b"\x1f\x8b":
             f.seek(0)
-            return gzip.GzipFile(fileobj=f)
+            return _OwningGzipFile(f)
         f.seek(0)
         return f
     if content is None:

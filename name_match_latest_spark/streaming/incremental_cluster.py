@@ -170,27 +170,27 @@ class IncrementalClusterer:
         checkpoints at the same instant could race the registry;
         concurrent WRITERS to one state dir are already unsupported
         at the snapshot-commit level.)"""
-        if lineage in self._epochs:
-            return self._epochs[lineage]
         d = os.path.join(self.labels.path, "epochs")
         p = os.path.join(d, f"{lineage}.json")
-        try:
-            with open(p) as f:
-                epoch = int(json.load(f)["epoch"])
+        epoch = self._epochs.get(lineage)
+        if epoch is None:
+            try:
+                with open(p) as f:
+                    epoch = int(json.load(f)["epoch"])
+            except (FileNotFoundError, ValueError, KeyError):
+                epoch = None
+        newest = self._newest_epoch(d)
+        if epoch is not None and epoch >= newest:
             self._epochs[lineage] = epoch
             return epoch
-        except (FileNotFoundError, ValueError, KeyError):
-            pass
-        os.makedirs(d, exist_ok=True)
-        prior = -1
-        for name in os.listdir(d):
-            if not name.endswith(".json"):
-                continue
-            try:
-                with open(os.path.join(d, name)) as f:
-                    prior = max(prior, int(json.load(f)["epoch"]))
-            except (ValueError, KeyError, OSError):
-                continue
+        # unregistered lineage — or a lineage SUPERSEDED by a newer
+        # one since it last wrote (an older checkpoint re-attached
+        # after a fresh one ran): re-register ABOVE everything so this
+        # lineage's new deltas win resolve_labels again instead of
+        # being permanently shadowed (the reverse of the fresh-lineage
+        # staleness bug).  Replay dedup is unaffected: it keys on the
+        # per-lineage batch-id watermark, not the epoch.
+        prior = newest
         # legacy state: versions committed before epochs existed carry
         # epoch 0 implicitly in their high bits
         try:
@@ -202,6 +202,7 @@ class IncrementalClusterer:
         except FileNotFoundError:
             pass
         epoch = prior + 1
+        os.makedirs(d, exist_ok=True)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"epoch": epoch, "lineage": lineage}, f)
@@ -210,6 +211,23 @@ class IncrementalClusterer:
         os.replace(tmp, p)
         self._epochs[lineage] = epoch
         return epoch
+
+    @staticmethod
+    def _newest_epoch(d: str) -> int:
+        newest = -1
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return newest
+        for name in names:
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    newest = max(newest, int(json.load(f)["epoch"]))
+            except (ValueError, KeyError, OSError):
+                continue
+        return newest
 
     def _dedup_gate(
         self, pages: DataFrame, batch_id: int, lineage: str
@@ -581,10 +599,19 @@ class IncrementalClusterer:
         silently dropped by the old lineage's high-water mark.  The
         dir is canonicalized before hashing (``checkpoint_lineage``):
         a different spelling of the same physical checkpoint must not
-        become a new lineage or replays escape dedup."""
+        become a new lineage or replays escape dedup.  A pre-r4
+        deployment that already committed under the raw-spelling id
+        keeps it (probed via the mentions watermark) so its replay
+        watermark survives the upgrade."""
         from .stream_match import checkpoint_lineage
 
-        lineage = checkpoint_lineage(checkpoint_dir)
+        lineage = checkpoint_lineage(
+            checkpoint_dir,
+            legacy_probe=lambda lid: self.mentions.last_batch_id(
+                f"{lid}:mentions"
+            )
+            is not None,
+        )
         return (
             pages_stream.writeStream.foreachBatch(
                 lambda df, bid: self.process_batch(df, bid, lineage=lineage)

@@ -37,20 +37,34 @@ __all__ = [
 ]
 
 
-def checkpoint_lineage(checkpoint_dir: str) -> str:
+def checkpoint_lineage(checkpoint_dir: str, legacy_probe=None) -> str:
     """Stable exactly-once lineage id for a checkpoint directory.
 
     Canonicalized (realpath) before hashing: the SAME physical
     checkpoint addressed via a different spelling (relative vs
     absolute path, symlink, different cwd) must stay ONE lineage —
     otherwise a crashed micro-batch replayed from it lands in a
-    "new" lineage, escapes batch-id dedup, and double-appends."""
+    "new" lineage, escapes batch-id dedup, and double-appends.
+
+    ``legacy_probe(lineage_id) -> bool`` (optional): pre-r4 versions
+    hashed the RAW spelling; a deployment that already committed
+    batches under that legacy id must keep it, or the watermark
+    resets and the next replay double-appends once.  The probe is
+    asked whether the legacy id has committed state; if yes (and the
+    canonical id has not), the legacy id stays sticky."""
     import hashlib
     import os
 
-    return hashlib.md5(
+    canonical = hashlib.md5(
         os.path.realpath(os.path.abspath(checkpoint_dir)).encode("utf-8")
     ).hexdigest()[:16]
+    if legacy_probe is not None:
+        legacy = hashlib.md5(
+            checkpoint_dir.rstrip("/").encode("utf-8")
+        ).hexdigest()[:16]
+        if legacy != canonical and not legacy_probe(canonical) and legacy_probe(legacy):
+            return legacy
+    return canonical
 
 
 def stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: str):
@@ -68,9 +82,14 @@ def stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: str):
     idempotence key is (checkpoint dir, batch_id): a rerun FROM THE
     SAME checkpoint replays the same ids and is deduped; a fresh
     checkpoint is a new lineage whose batch 0 must commit (see
-    ``checkpoint_lineage`` for why the dir is canonicalized first).
+    ``checkpoint_lineage`` for why the dir is canonicalized first;
+    the probe keeps a pre-canonicalization deployment's lineage id
+    sticky so its watermark survives the upgrade).
     """
-    lineage = checkpoint_lineage(checkpoint_dir)
+    lineage = checkpoint_lineage(
+        checkpoint_dir,
+        legacy_probe=lambda lid: table.last_batch_id(lid) is not None,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table.append(batch_df, batch_id=batch_id, query_id=lineage)

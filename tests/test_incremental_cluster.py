@@ -458,3 +458,72 @@ def test_backfill_batch_shuffle_fallback(spark, tmp_path, monkeypatch):
         (r.id, r.cluster_id) for r in cluster_pages(pages).collect()
     )
     assert got == want
+
+
+def test_older_lineage_reattach_supersedes_newer(spark, tmp_path):
+    """The REVERSE of the fresh-lineage staleness bug: re-attaching an
+    OLDER checkpoint after a newer lineage ran must re-register its
+    epoch ABOVE the newer one, or its merges are permanently shadowed
+    in resolve_labels."""
+    from name_match_latest_spark.plans.web_pipeline import cluster_pages
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    pages = generate_webpages(spark, 180, seed=57).localCheckpoint()
+
+    def split(lo, hi):
+        return pages.filter(
+            F.regexp_extract("url", r"/article/(\d+)$", 1)
+            .cast("int")
+            .between(lo, hi - 1)
+        ).localCheckpoint()
+
+    c = IncrementalClusterer(spark, str(tmp_path / "state"))
+    c.process_batch(split(0, 60), batch_id=0, lineage="ckptA")
+    c.process_batch(split(60, 120), batch_id=0, lineage="ckptB")  # newer
+    # operator restores checkpoint A and continues it
+    c.process_batch(split(120, 180), batch_id=1, lineage="ckptA")
+
+    got = _partition_of(
+        (r.id, r.cluster_id) for r in c.cluster_members().collect()
+    )
+    want = _partition_of(
+        (r.id, r.cluster_id) for r in cluster_pages(pages).collect()
+    )
+    assert got == want
+
+
+def test_checkpoint_lineage_legacy_sticky():
+    """A deployment that committed batches under the pre-r4 raw-string
+    lineage id keeps that id after upgrade (watermark survives); new
+    deployments get the canonical id."""
+    import hashlib
+
+    from name_match_latest_spark.streaming.stream_match import (
+        checkpoint_lineage,
+    )
+
+    raw_dir = "relative/ckpt/"
+    legacy = hashlib.md5(
+        raw_dir.rstrip("/").encode("utf-8")
+    ).hexdigest()[:16]
+
+    # legacy state exists -> sticky legacy id
+    assert (
+        checkpoint_lineage(raw_dir, legacy_probe=lambda lid: lid == legacy)
+        == legacy
+    )
+    # no committed state anywhere -> canonical id
+    canonical = checkpoint_lineage(raw_dir)
+    assert (
+        checkpoint_lineage(raw_dir, legacy_probe=lambda lid: False)
+        == canonical
+    )
+    # canonical state already exists -> canonical wins even if legacy
+    # also somehow has state
+    assert (
+        checkpoint_lineage(raw_dir, legacy_probe=lambda lid: True)
+        == canonical
+    )

@@ -449,3 +449,20 @@ def test_gif_lzw_stream_fuzz():
         assert np.array_equal(np.frombuffer(dec, np.uint8), idx.astype(np.uint8))
 
     run()
+
+
+def test_png_out_of_range_palette_index_clamped():
+    """A corrupt palette PNG whose pixel index exceeds the PLTE must
+    clamp (like decode_gif), not IndexError past featurize's
+    fallback catch and kill the Spark task."""
+    from name_match_latest_spark.operators.multimodal import (
+        auto_featurize,
+        decode_png,
+    )
+
+    plte = bytes([255, 0, 0, 0, 255, 0])  # 2 entries
+    bad = _handmade_png(3, 2, 1, b"\x00\x00\x07", plte=plte)  # index 7
+    img = decode_png(bad)
+    assert tuple(img[0, 1]) == (0, 255, 0)  # clamped to last entry
+    feats = auto_featurize(bad)
+    assert len(feats) == 16  # decodes via the real image path, no crash

@@ -182,3 +182,54 @@ def test_local_glob_prunes_content_column(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1 and rows[0].url == "http://ex.com/a"
     assert b"Maria Santos" in bytes(rows[0].html)
+
+
+def test_resync_after_understated_content_length():
+    """A record whose Content-Length understates its payload by more
+    than the scan window must not swallow the REST of the archive:
+    the parser slides forward and resynchronizes on the next header."""
+    import io
+
+    from datetime import datetime
+
+    from name_match_latest_spark.sources.warc import (
+        _iter_warc_records,
+        _warc_record,
+    )
+
+    # record 1 claims 10 bytes but carries ~2 MB of separator-free noise
+    noise = bytes([65 + (i % 20) for i in range(2 * 1024 * 1024)])
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad/1\r\nContent-Length: 10\r\n\r\n"
+        + noise
+    )
+    good = _warc_record(
+        "response", "http://good/2", datetime(2024, 1, 1), b"payload-two"
+    )
+    out = list(_iter_warc_records(io.BytesIO(bad + b"\r\n\r\n" + good)))
+    uris = [h.get("warc-target-uri") for h, _ in out]
+    assert "http://good/2" in uris
+    assert out[-1][1] == b"payload-two"
+
+
+def test_owning_gzip_closes_fileobj(tmp_path):
+    """Path-mode streams must close the underlying descriptor when the
+    gzip wrapper closes (GzipFile alone leaks caller-supplied
+    fileobjs)."""
+    from datetime import datetime
+
+    from name_match_latest_spark.sources.warc import (
+        _open_record_stream,
+        write_warc,
+    )
+
+    p = tmp_path / "x.warc.gz"
+    write_warc(
+        str(p),
+        [("http://e/1", datetime(2024, 1, 1), b"<html></html>", "en")],
+    )
+    s = _open_record_stream(str(p), None)
+    inner = s._owned_fileobj
+    s.close()
+    assert inner.closed
