@@ -1,11 +1,14 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].  Prints ONE COMPACT JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <sf>, ...}
 
-Extra keys (informational): rows per query, pages/sec for the web
-pipeline, mentions/sec for the flagship match.
+The stdout line stays small on purpose: the driver captures a bounded
+tail of output, and round 4's line (which inlined every raw run time)
+outgrew that window — the driver recorded ``"parsed": null``.  The
+full evidence payload (all raw run times per query, result row counts)
+goes to the ``BENCH_DETAIL.json`` sidecar next to this script instead.
 
 Scaling-efficiency evidence (north rule) lives in
 scripts/bench_scaling.py which runs the SAME web job at two
@@ -145,14 +148,21 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "rows": rows,
         "pages_per_sec": round(N_PAGES / web_sec, 1),
         "mentions_per_sec": round(n_clustered / web_sec, 1),
         "cpus": int(CPUS),
         "n_pages": N_PAGES,
+        "detail": "BENCH_DETAIL.json",
     }
+    # full evidence sidecar: every raw run time (the host-noise spread
+    # record) + per-query result row counts — everything the compact
+    # stdout line omits
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump({**out, "runs": all_runs, "rows": rows}, f, indent=1)
     spark.stop()
     print(json.dumps(out))
 

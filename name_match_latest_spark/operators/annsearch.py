@@ -63,6 +63,7 @@ def _brute_topk(
     metric_name: str,
     metric_fn,
     ascending: bool,
+    impl: str = "hof",
 ) -> DataFrame:
     """Shared exact-top-k scaffolding for the brute-force ANN metrics:
     queries broadcast, corpus streams map-side through the join, self
@@ -70,21 +71,46 @@ def _brute_topk(
     applies the partial top-k BEFORE the exchange — see
     docs/PLANS.md).  One implementation so the self-exclusion,
     broadcast strategy, and tie-break contract cannot diverge between
-    metrics."""
+    metrics.
+
+    ``impl`` picks the metric engine:
+
+    * ``"hof"`` (default) — JVM higher-order-function fold.
+      Interpreted (CodegenFallback) but zero Python transfer; the
+      declared small-query baseline, and the form the DuckDB oracle
+      twins bit-exactly.
+    * ``"arrow"`` — numpy over Arrow batches: the corpus alone streams
+      through ``mapInPandas`` (queries ride a broadcast variable — the
+      pair matrix is never serialized), each batch computes its
+      metric block against all queries and emits a PARTIAL top-k, and
+      the same window takes the global top-k over ``batches × k``
+      survivors.  Accumulation is an explicit per-dimension
+      left-to-right loop of vectorized adds, so every float matches
+      the HOF fold (and therefore the oracle's sequential 64-term SQL)
+      BIT-EXACTLY — same values, same ties, same ranks
+      (tests/test_annsearch_arrow.py).  Wins once query count is
+      large (>10^4 — see docs/PLANS.md measurement); both impls keep
+      the same O(N·Q) work and one-shuffle shape.
+    """
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = scored.withColumn(
-        metric_name, metric_fn(F.col("_cvec"), F.col("_qvec"))
-    )
+    if impl == "arrow":
+        scored = _arrow_partial_topk(
+            corpus, queries, k, id_col, vec_col, metric_name, ascending
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+        scored = corpus.crossJoin(F.broadcast(q)).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = scored.withColumn(
+            metric_name, metric_fn(F.col("_cvec"), F.col("_qvec"))
+        )
     order = F.asc(metric_name) if ascending else F.desc(metric_name)
     w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
     return (
@@ -94,22 +120,120 @@ def _brute_topk(
     )
 
 
+def _arrow_partial_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    metric_name: str,
+    ascending: bool,
+) -> DataFrame:
+    """(query_id, neighbor_id, metric) partial top-k per Arrow batch —
+    the vectorized half of ``impl="arrow"`` (see ``_brute_topk``).
+    The query set is collected once and shipped as a broadcast
+    VARIABLE (same small-queries contract as the HOF path's
+    ``F.broadcast``); the metric block is accumulated dimension-by-
+    dimension left-to-right for bit-exact parity with the sequential
+    fold.  Memory per task is O(corpus_chunk × query_chunk), never
+    O(batch × queries × dim)."""
+    import numpy as np
+    import pandas as pd
+
+    metric_is_l2 = metric_name == "distance"
+    q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    b_qids = spark.sparkContext.broadcast([r[0] for r in q_rows])
+    b_qmat = spark.sparkContext.broadcast(
+        np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    )
+    id_type = corpus.schema["neighbor_id"].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, {metric_name} double"
+    )
+    C_CHUNK, Q_CHUNK = 1024, 128
+
+    def seq_sq_norm(M: "np.ndarray") -> "np.ndarray":
+        # sequential left-to-right sum of squares per row
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for t in range(M.shape[1]):
+            acc += M[:, t] * M[:, t]
+        return np.sqrt(acc)
+
+    def gen(batches):
+        qids = np.asarray(b_qids.value)
+        qmat = b_qmat.value
+        nq = len(qids)
+        sign = 1.0 if ascending else -1.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            call = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_cvec"]]
+            )
+            nids_all = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_m = [], [], []
+            for cs in range(0, len(call), C_CHUNK):
+                C = call[cs : cs + C_CHUNK]
+                nids = nids_all[cs : cs + C_CHUNK]
+                cn = None if metric_is_l2 else seq_sq_norm(C)
+                for qs in range(0, nq, Q_CHUNK):
+                    Qc = qmat[qs : qs + Q_CHUNK]
+                    m = np.zeros((C.shape[0], Qc.shape[0]), dtype=np.float64)
+                    if metric_is_l2:
+                        for t in range(C.shape[1]):
+                            d = C[:, t, None] - Qc[None, :, t]
+                            m += d * d
+                        m = np.sqrt(m)
+                    else:
+                        for t in range(C.shape[1]):
+                            m += C[:, t, None] * Qc[None, :, t]
+                        m = m / (cn[:, None] * seq_sq_norm(Qc)[None, :])
+                    for j in range(Qc.shape[0]):
+                        qid = qids[qs + j]
+                        mask = nids != qid
+                        cand_m = m[mask, j]
+                        if cand_m.size == 0:
+                            continue
+                        cand_ids = nids[mask]
+                        # primary: metric (per ``ascending``);
+                        # secondary: neighbor_id asc — the window's
+                        # exact tie-break, so the partial top-k can
+                        # never evict a row the global top-k needs
+                        top = np.lexsort((cand_ids, sign * cand_m))[:k]
+                        out_q.append(np.full(len(top), qid))
+                        out_n.append(cand_ids[top])
+                        out_m.append(cand_m[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        metric_name: np.concatenate(out_m),
+                    }
+                )
+
+    return corpus.mapInPandas(gen, schema=out_schema)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "hof",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is expected to be small (it is broadcast); the corpus
     side streams — this is a map-side join + per-query top-k via
-    window, no corpus self-join.
-    """
+    window, no corpus self-join.  ``impl="arrow"`` switches the metric
+    engine to the numpy/Arrow batch path (bit-exact same results;
+    faster at large query counts — see ``_brute_topk``)."""
     return _brute_topk(
         embeddings, queries, k, id_col, vec_col,
-        "cosine", cosine_col, ascending=False,
+        "cosine", cosine_col, ascending=False, impl=impl,
     )
 
 
@@ -133,16 +257,17 @@ def l2_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "hof",
 ) -> DataFrame:
     """Exact top-k EUCLIDEAN neighbors per query — the second metric
     of the ANN family (L2 is the norm-sensitive complement of cosine:
     embedding families that encode magnitude, e.g. un-normalized
     doc2vec-style vectors, rank differently under it).  Same scale
     shape as ``cosine_topk`` via the shared ``_brute_topk``
-    scaffolding."""
+    scaffolding; ``impl="arrow"`` as there."""
     return _brute_topk(
         embeddings, queries, k, id_col, vec_col,
-        "distance", l2_col, ascending=True,
+        "distance", l2_col, ascending=True, impl=impl,
     )
 
 

@@ -184,13 +184,30 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) — RFC 2083
+#: §2.6; the IDAT stream concatenates the 7 reduced images, each
+#: filtered independently (its own per-scanline filter bytes)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG -> (H, W, 3) uint8 BGR (same contract
-    as ``decode_bmp`` so downstream treats images uniformly).  DEFLATE
+    """8-bit PNG -> (H, W, 3) uint8 BGR (same contract as
+    ``decode_bmp`` so downstream treats images uniformly).  DEFLATE
     via stdlib zlib — a REAL decode.  Gray/gray+alpha/RGB/RGBA/palette
-    color types; alpha is dropped.  16-bit depths and Adam7 interlace
-    raise (NotImplementedError for interlace: it needs a 7-pass
-    de-multiplex this kernel deliberately omits)."""
+    color types; alpha is dropped.  Adam7-interlaced images de-multiplex
+    through the same unfilter kernel: the deflate stream holds 7
+    independently-filtered reduced images whose pixels scatter back on
+    the pass grid (numpy strided assignment — the same index-reassembly
+    trick ``decode_gif`` uses for GIF's 4-pass interlace).  16-bit
+    depths raise (ValueError — out of this kernel's declared scope)."""
     if len(payload) < 33 or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, n = 8, len(payload)
@@ -212,11 +229,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunks")
     w, h, bit_depth, color, comp, filt, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG needs PIL/opencv — this stdlib kernel "
-            "decodes non-interlaced (the overwhelmingly common) PNGs"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if bit_depth != 8 or comp != 0 or filt != 0 or color not in _PNG_CHANNELS:
         raise ValueError(
             f"unsupported PNG variant (depth={bit_depth}, color={color})"
@@ -224,9 +238,28 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = _PNG_CHANNELS[color]
     stride = w * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) < h * (1 + stride):
-        raise ValueError("truncated PNG pixel data")
-    img = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if interlace == 1:  # Adam7: 7 filtered reduced images, scattered
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7_PASSES:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw == 0 or ph == 0:
+                continue  # empty pass emits NO scanlines (not even
+                # filter bytes) for small images — per RFC 2083
+            pstride = pw * channels
+            nbytes = ph * (1 + pstride)
+            if off + nbytes > len(raw):
+                raise ValueError("truncated PNG pixel data")
+            sub = _png_unfilter(
+                raw[off : off + nbytes], ph, pstride, channels
+            ).reshape(ph, pw, channels)
+            img[ys::ystep, xs::xstep] = sub
+            off += nbytes
+    else:
+        if len(raw) < h * (1 + stride):
+            raise ValueError("truncated PNG pixel data")
+        img = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if color == 3:  # palette -> RGB
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -251,13 +284,25 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(H, W, 3) uint8 BGR -> 8-bit RGB non-interlaced PNG bytes
-    (filter 0 scanlines, stdlib zlib DEFLATE)."""
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 BGR -> 8-bit RGB PNG bytes (filter 0
+    scanlines, stdlib zlib DEFLATE).  ``interlace=True`` writes the
+    Adam7 layout: the 7 reduced images gathered on the pass grid and
+    concatenated, each scanline filter-0 prefixed (empty passes emit
+    nothing)."""
     h, w = img.shape[:2]
     rgb = np.ascontiguousarray(img[:, :, ::-1], dtype=np.uint8)
-    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if interlace:
+        parts = []
+        for xs, ys, xstep, ystep in _ADAM7_PASSES:
+            sub = rgb[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

@@ -42,10 +42,15 @@ class SnapshotTable:
         df: DataFrame,
         parent: str | None = None,
         bucket_by: tuple[str, int] | None = None,
+        row_count: int | None = None,
     ) -> str:
         """Write a new immutable snapshot (full replacement), returns
         its id.  ``bucket_by`` keeps the table's bucket layout across
-        compactions (see :meth:`append`)."""
+        compactions (see :meth:`append`).  ``row_count``, when the
+        caller already knows it, is recorded in the manifest as the
+        table's ``total_rows`` — Iceberg-style snapshot summary stats
+        that make size-based maintenance triggers O(1) manifest reads
+        instead of table scans."""
         snap_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
         data_dir = os.path.join(self.path, "data", snap_id)
         if bucket_by is not None:
@@ -58,6 +63,7 @@ class SnapshotTable:
             "parent": parent if parent is not None else self.current_snapshot(),
             "committed_at": time.time(),
             "file_paths": paths,
+            "total_rows": row_count,
             "bucket_by": (
                 {"col": bucket_by[0], "n": bucket_by[1]}
                 if bucket_by is not None
@@ -163,6 +169,7 @@ class SnapshotTable:
         batch_id: int | None = None,
         query_id: str = "default",
         bucket_by: tuple[str, int] | None = None,
+        row_count: int | None = None,
     ) -> str | None:
         """Iceberg-style APPEND commit: writes ONLY the new rows' files
         and lists parent files + new files in the manifest — no rewrite
@@ -183,6 +190,12 @@ class SnapshotTable:
         dropped — and interleaved ``commit()`` / batch-less ``append()``
         calls never reset the dedup state (both were real data-loss /
         duplication bugs when the check lived on the head snapshot).
+
+        ``row_count`` (the batch's row count, when the caller already
+        has it) accumulates into the manifest's ``total_rows``:
+        parent total + batch rows, ``None`` as soon as any link in the
+        chain lacks a count (a later ``commit`` with a count restores
+        tracking).  See :meth:`total_rows`.
 
         ``bucket_by=(col, n)`` writes the batch hash-bucketed on
         ``pmod(col, n)`` into `_bucket=K/` partition subdirs and
@@ -210,11 +223,17 @@ class SnapshotTable:
             b = self._bucket_of_path(p)
             if b is not None:
                 file_buckets[p] = b
+        parent_total = parent_manifest.get("total_rows") if parent is not None else 0
         manifest = {
             "snapshot_id": snap_id,
             "parent": parent,
             "committed_at": time.time(),
             "file_paths": parent_paths + new_files,
+            "total_rows": (
+                parent_total + row_count
+                if parent_total is not None and row_count is not None
+                else None
+            ),
             "batch_id": batch_id,
             "query_id": query_id if batch_id is not None else None,
             "bucket_by": (
@@ -349,6 +368,21 @@ class SnapshotTable:
         if "file_paths" in m:
             return m["file_paths"]
         return [os.path.join(m["data_dir"], p) for p in m["files"]]
+
+    def total_rows(self, snapshot_id: str | None = None) -> int | None:
+        """Row count of HEAD (or a pinned snapshot) from manifest
+        stats alone — O(1), no table scan.  ``None`` when any append
+        in the chain was committed without a ``row_count`` (legacy
+        state); the next counted ``commit`` (e.g. a compaction)
+        restores tracking."""
+        snap_id = snapshot_id or self.current_snapshot()
+        if snap_id is None:
+            return 0
+        try:
+            total = self._manifest(snap_id).get("total_rows")
+        except FileNotFoundError:
+            return None
+        return int(total) if total is not None else None
 
     def current_snapshot(self) -> str | None:
         head = os.path.join(self.path, "HEAD")

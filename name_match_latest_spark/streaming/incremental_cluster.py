@@ -76,6 +76,12 @@ def resolve_labels(raw: DataFrame) -> DataFrame:
 #: falls back to the shuffle join the batch pipeline uses
 BROADCAST_BATCH_MAX = 500_000
 
+#: within-batch LSH buckets above this size switch from the full
+#: self-join to a star against the bucket's min doc_id (see
+#: ``IncrementalClusterer._within_batch_candidates``) — same constant
+#: as the batch operator's ``dedup.AUTO_BUCKET_CAP``
+WITHIN_BATCH_BUCKET_CAP = 100
+
 
 
 class IncrementalClusterer:
@@ -95,6 +101,8 @@ class IncrementalClusterer:
         state_dir: str,
         dedup_threshold: float | None = None,
         label_buckets: int | None = None,
+        compact_factor: float | None = 4.0,
+        compact_max_files: int = 256,
     ) -> None:
         """``label_buckets`` enables Iceberg-style bucket pruning on
         the label log (files partitioned by pmod(node, N); endpoint
@@ -103,7 +111,21 @@ class IncrementalClusterer:
         a small fraction of buckets — i.e. the huge-corpus/small-batch
         regime with N sized to ~corpus/10^7 (measured at sandbox
         scale, where every batch touches all buckets, the layout
-        overhead exceeds the pruning gain — hence opt-in)."""
+        overhead exceeds the pruning gain — hence opt-in).
+
+        ``compact_factor`` wires label-log compaction into the batch
+        loop itself (a long-running crawl must not depend on an
+        operator remembering to call :meth:`maintain`):
+        after a batch commits, the log is folded into a fresh base when
+        EITHER its row count exceeds ``compact_factor`` × the node
+        universe (merge churn — ``resolve_labels`` read cost grows with
+        every superseded row) OR its data-file count exceeds
+        ``compact_max_files`` (append-mostly logs whose row count stays
+        near the floor but whose per-read open cost grows one file per
+        batch).  Both signals come from O(1) manifest stats
+        (``SnapshotTable.total_rows`` / manifest file list), so the
+        check costs no table scan per batch.  ``compact_factor=None``
+        disables auto-compaction (manual :meth:`maintain` only)."""
         self.spark = spark
         self.mentions = SnapshotTable(os.path.join(state_dir, "mentions"))
         self.edges = SnapshotTable(os.path.join(state_dir, "edges"))
@@ -111,6 +133,8 @@ class IncrementalClusterer:
         self.audit = AuditLog(os.path.join(state_dir, "audit"), "incremental-v1")
         self.dedup_threshold = dedup_threshold
         self.label_buckets = label_buckets
+        self.compact_factor = compact_factor
+        self.compact_max_files = compact_max_files
         self._epochs: dict[str, int] = {}
         if dedup_threshold is not None:
             self.docs = SnapshotTable(os.path.join(state_dir, "docs"))
@@ -271,16 +295,7 @@ class IncrementalClusterer:
 
         # 2. near-dup within the batch: verified pairs drop the larger id
         cand_w = (
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                on=["band_id", "band_hash"],
-            )
-            .select(
-                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-            )
-            .filter(F.col("d1") < F.col("d2"))
-            .distinct()
+            self._within_batch_candidates(bands)
             # materialized: _verified_dups reads cand twice (pairs
             # base + d2 broadcast filter)
             .localCheckpoint(eager=True)
@@ -341,6 +356,53 @@ class IncrementalClusterer:
         )
         survivors = batch.select(F.col("doc_id").alias("url"))
         return pages.join(F.broadcast(survivors), "url", "left_semi")
+
+    def _within_batch_candidates(self, bands: DataFrame) -> DataFrame:
+        """(d1, d2) near-dup candidate pairs within ONE batch, with
+        the oversized-bucket guard the corpus-side paths already have
+        (round-4 carry-over): a backfill batch of near-identical pages
+        (crash-replayed crawl dump, mirror site) lands them all in the
+        SAME bucket in EVERY band, and the plain band self-join goes
+        quadratic in batch size before verification can prune.
+
+        Buckets at or under ``WITHIN_BATCH_BUCKET_CAP`` get the full
+        self-join (small quadratic, same as
+        ``dedup.minhash_lsh_candidates``).  Buckets ABOVE the cap
+        switch to a STAR: every member pairs with the bucket's min
+        doc_id only — O(bucket) candidates, and the flood regime this
+        guards against (near-identical replicas) still dedups, because
+        each replica verifies against the representative directly.
+        That is strictly stronger than the batch operator's drop-the-
+        bucket cap, which is the right call there (a metric operator
+        must not emit approximate pairs silently) but would let a
+        near-dup flood INTO the corpus here.  A mixed oversized bucket
+        (hash collision of unrelated pages) degrades to possible false
+        negatives — the same trade the capped batch operator makes."""
+        counts = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_n"), F.min("doc_id").alias("_rep"))
+            # tiny (one row per occupied bucket) and read twice below
+            .localCheckpoint(eager=True)
+        )
+        tagged = bands.join(counts, ["band_id", "band_hash"])
+        small = tagged.filter(F.col("_n") <= WITHIN_BATCH_BUCKET_CAP).select(
+            "doc_id", "band_id", "band_hash"
+        )
+        full = (
+            small.alias("a")
+            .join(small.alias("b"), on=["band_id", "band_hash"])
+            .select(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            .filter(F.col("d1") < F.col("d2"))
+        )
+        star = (
+            tagged.filter(F.col("_n") > WITHIN_BATCH_BUCKET_CAP)
+            .filter(F.col("doc_id") != F.col("_rep"))
+            # _rep = min(doc_id) per bucket, so _rep < doc_id holds
+            .select(F.col("_rep").alias("d1"), F.col("doc_id").alias("d2"))
+        )
+        return full.unionByName(star).distinct()
 
     def _verified_dups(
         self, cand: DataFrame, left_docs: DataFrame, right_docs: DataFrame
@@ -439,20 +501,35 @@ class IncrementalClusterer:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        n_edges = new_edges.count()  # cheap: counts the checkpoint
 
         self.mentions.append(
-            prepared, batch_id=batch_id, query_id=f"{lineage}:mentions"
+            prepared,
+            batch_id=batch_id,
+            query_id=f"{lineage}:mentions",
+            row_count=n_mentions,
         )
         self.edges.append(
-            new_edges, batch_id=batch_id, query_id=f"{lineage}:edges"
+            new_edges,
+            batch_id=batch_id,
+            query_id=f"{lineage}:edges",
+            row_count=n_edges,
         )
 
         # version monotone ACROSS checkpoint lineages, not just within
         # one (a fresh checkpoint restarts batch ids at 0)
         version = (self._lineage_epoch(lineage) << 32) | batch_id
-        delta = self._merge_log_delta(
-            new_edges, new_nodes=prepared.select("id")
-        ).withColumn("version", F.lit(version).cast("long"))
+        delta = (
+            self._merge_log_delta(new_edges, new_nodes=prepared.select("id"))
+            .withColumn("version", F.lit(version).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        n_delta = delta.count()
+        # a crawl-tick delta is small: collapse the shuffle-width
+        # partitioning before the write or the label log grows ~32
+        # near-empty files per batch (the file-count compaction
+        # trigger would then fire on write fan-out, not log size)
+        delta = delta.coalesce(max(1, min(32, n_delta // 2_000_000 + 1)))
         delta_snap = self.labels.append(
             delta,
             batch_id=batch_id,
@@ -462,18 +539,18 @@ class IncrementalClusterer:
                 if self.label_buckets is not None
                 else None
             ),
+            row_count=n_delta,
         )
         if delta_snap is not None:  # None = replay; already audited
             self.audit.commit(
                 batch_id,
                 lineage=lineage,
                 n_mentions=n_mentions,
-                n_new_edges=new_edges.count(),
-                n_label_changes=self.labels.read(
-                    spark, delta_snap
-                ).filter(F.col("version") == version).count(),
+                n_new_edges=n_edges,
+                n_label_changes=n_delta,
                 duration_sec=_time.time() - t0,
             )
+            self._maybe_compact()
 
     def _merge_log_delta(
         self, new_edges: DataFrame, new_nodes: DataFrame
@@ -633,6 +710,29 @@ class IncrementalClusterer:
                 out[name] = table.expire_snapshots(keep_last=2)
         return out
 
+    def _maybe_compact(self) -> None:
+        """Auto-compaction trigger, checked after every committed
+        batch (see ``__init__``): fold the label log when it holds
+        ``compact_factor``× more rows than the node universe (merge
+        churn) or more data files than ``compact_max_files``
+        (append fan-out).  Pure manifest reads until the trigger
+        actually fires."""
+        if self.compact_factor is None:
+            return
+        snap = self.labels.current_snapshot()
+        if snap is None:
+            return
+        n_files = len(self.labels._file_paths(snap))
+        log_rows = self.labels.total_rows(snap)
+        nodes = self.mentions.total_rows()
+        over_rows = (
+            log_rows is not None
+            and nodes is not None
+            and log_rows > self.compact_factor * max(nodes, 1)
+        )
+        if over_rows or n_files > self.compact_max_files:
+            self.compact_labels(expire=True)
+
     def compact_labels(self, expire: bool = True) -> str | None:
         """Fold the delta log into a single base snapshot (read cost is
         O(base + deltas); compaction restores it to O(nodes)), then
@@ -648,14 +748,21 @@ class IncrementalClusterer:
             raw.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("node", "component", "version")
+            # materialized so the commit writes from memory and the
+            # row count (recorded as the new base's manifest stat —
+            # it re-seeds total_rows tracking over legacy state) does
+            # not re-run the fold
+            .localCheckpoint(eager=True)
         )
+        n_base = base.count()
         snap = self.labels.commit(
-            base,
+            base.coalesce(max(1, min(32, n_base // 2_000_000 + 1))),
             bucket_by=(
                 ("node", self.label_buckets)
                 if self.label_buckets is not None
                 else None
             ),
+            row_count=n_base,
         )
         if expire:
             self.labels.expire_snapshots(keep_last=1)

@@ -43,3 +43,21 @@ def test_fallback_matches_fake_for_non_media(payload):
     if payload[:2] == b"BM" or payload[:4] == b"RIFF":
         return  # may decode for real
     assert auto_featurize(payload) == DETERMINISTIC_FAKE(payload)
+
+
+@settings(max_examples=30, deadline=None)
+@given(dims, st.integers(0, 2**32 - 1))
+def test_png_adam7_equals_plain_any_size(wh, seed):
+    """Interlaced and non-interlaced encodings of the same image
+    decode identically at arbitrary sizes (empty Adam7 passes, ragged
+    pass grids)."""
+    from name_match_latest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    w, h = wh
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert np.array_equal(decode_png(encode_png(img, interlace=True)), img)

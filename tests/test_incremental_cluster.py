@@ -10,6 +10,8 @@ compare the induced partitions).
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
+
 from pyspark.sql import functions as F
 
 
@@ -527,3 +529,167 @@ def test_checkpoint_lineage_legacy_sticky():
         checkpoint_lineage(raw_dir, legacy_probe=lambda lid: True)
         == canonical
     )
+
+
+def _flood_batch(spark, schema, n_families: int, n_replicas: int):
+    """ONE batch shaped like a crash-replayed crawl dump: n_families
+    distinct articles, each mirrored n_replicas times with a one-token
+    tweak (near-identical, NOT byte-exact — byte dups never reach the
+    band join)."""
+    rows = []
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    for fam in range(n_families):
+        # family-specific vocabulary: replicas of one family are
+        # near-identical to each other and UNRELATED to other
+        # families (distinct articles must not share band buckets)
+        text = " ".join(f"fam{fam}word{j}" for j in range(40))
+        for rep in range(n_replicas):
+            rows.append(
+                (
+                    f"https://mirror{rep}.example.com/en/article/{fam}",
+                    ts,
+                    b"<html></html>",
+                    # one replica-unique token: near-identical, never
+                    # byte-exact; most replicas keep the family's band
+                    # hashes (the unique shingle rarely wins a min),
+                    # divergent ones land in singleton buckets
+                    text + f" mirror{rep}tok",
+                    "en",
+                    None,
+                )
+            )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_within_batch_band_join_capped(spark, tmp_path):
+    """The round-4 carry-over: a backfill batch of near-identical
+    pages must NOT send the within-batch LSH band self-join quadratic.
+    Oversized buckets (> WITHIN_BATCH_BUCKET_CAP) switch to a star
+    against the bucket representative: candidate count stays LINEAR in
+    batch size, and the flood still dedups (every replica verifies
+    against the representative)."""
+    from name_match_latest_spark.operators.dedup import minhash_bands
+    from name_match_latest_spark.sources.web import WEBPAGE_SCHEMA
+    from name_match_latest_spark.streaming import incremental_cluster as ic
+
+    n_families, n_replicas = 50, 200
+    flood = _flood_batch(spark, WEBPAGE_SCHEMA, n_families, n_replicas)
+    batch = flood.select(
+        F.col("url").alias("doc_id"), "text", "lang"
+    ).localCheckpoint()
+
+    c = ic.IncrementalClusterer(
+        spark, str(tmp_path / "state"), dedup_threshold=0.8
+    )
+    bands = minhash_bands(batch).localCheckpoint()
+    n_docs = n_families * n_replicas
+    n_cand = c._within_batch_candidates(bands).count()
+    # star pairs collapse to (rep, member) across bands: ~(m-1) per
+    # family plus small-bucket stragglers.  The uncapped join would be
+    # >= 50 * (200*199/2) ~ 1M pairs; assert the LINEAR regime.
+    assert n_cand < 3 * n_docs, f"band join not capped: {n_cand} candidates"
+    assert n_cand >= n_families * (n_replicas - 1) * 0.7  # still covers
+
+
+def test_flood_batch_still_dedups_end_to_end(spark, tmp_path):
+    """End-to-end over the capped path: the star fallback must not
+    weaken the gate — the surviving set equals what the UNCAPPED
+    candidate join would keep (each family collapses to its
+    representative; the only extra survivors are genuine LSH misses
+    that share no bucket with anyone, capped or not), and later
+    distinct pages still ingest."""
+    from name_match_latest_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from name_match_latest_spark.sources.web import (
+        WEBPAGE_SCHEMA,
+        generate_webpages,
+    )
+    from name_match_latest_spark.streaming import incremental_cluster as ic
+
+    n_families, n_replicas = 4, 150  # family size > cap of 100
+    flood = _flood_batch(
+        spark, WEBPAGE_SCHEMA, n_families, n_replicas
+    ).localCheckpoint()
+    c = ic.IncrementalClusterer(
+        spark, str(tmp_path / "state"), dedup_threshold=0.8
+    )
+    c.process_batch(flood, batch_id=0)
+    got = {
+        r.doc_id for r in c.docs.read(spark).select("doc_id").collect()
+    }
+
+    # oracle: uncapped within-batch near-dup pass (no byte-exact dups
+    # in this flood, so the gate reduces to exactly this)
+    batch = flood.select(
+        F.col("url").alias("doc_id"), "text", "lang"
+    ).localCheckpoint()
+    cand = minhash_lsh_candidates(batch, max_bucket=None).localCheckpoint()
+    dropped = {
+        r.d2
+        for r in c._verified_dups(cand, batch, batch).select("d2").collect()
+    }
+    want = {r.doc_id for r in batch.select("doc_id").collect()} - dropped
+    assert got == want
+    # and the flood genuinely collapsed: one rep per family + at most
+    # a few bucketless LSH misses
+    assert n_families <= len(got) <= n_families + 3
+
+    fresh = generate_webpages(spark, 10, seed=71).localCheckpoint()
+    c.process_batch(fresh, batch_id=1)
+    assert c.docs.read(spark).count() == len(got) + 10
+
+
+def test_auto_compaction_bounds_label_log(spark, tmp_path):
+    """50-batch stream WITHOUT any manual maintain(): the label log's
+    file count and row count stay bounded (auto-compaction fires from
+    inside process_batch), and the final clusters still equal batch
+    re-clustering."""
+    from name_match_latest_spark.plans.web_pipeline import cluster_pages
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    n_batches, per_batch = 50, 6
+    pages = generate_webpages(
+        spark, n_batches * per_batch, seed=73
+    ).localCheckpoint()
+    c = IncrementalClusterer(
+        spark,
+        str(tmp_path / "state"),
+        compact_factor=3.0,
+        compact_max_files=12,
+    )
+    max_files_seen, compactions = 0, 0
+    prev_files = 0
+    for b in range(n_batches):
+        lo, hi = b * per_batch, (b + 1) * per_batch
+        batch = pages.filter(
+            F.regexp_extract("url", r"/article/(\d+)$", 1)
+            .cast("int")
+            .between(lo, hi - 1)
+        )
+        c.process_batch(batch, batch_id=b)
+        n_files = len(c.labels._file_paths(c.labels.current_snapshot()))
+        if n_files < prev_files:
+            compactions += 1
+        prev_files = n_files
+        max_files_seen = max(max_files_seen, n_files)
+        # bounded read cost: rows never drift past the trigger band
+        rows = c.labels.total_rows()
+        nodes = c.mentions.total_rows()
+        assert rows is not None and nodes is not None
+        assert rows <= 3.0 * nodes + per_batch * 40
+
+    assert compactions >= 1, "auto-compaction never fired in 50 batches"
+    # file count bounded by the trigger, not by batch count
+    assert max_files_seen <= 12 + 4, max_files_seen
+
+    got = _partition_of(
+        (r.id, r.cluster_id) for r in c.cluster_members().collect()
+    )
+    want = _partition_of(
+        (r.id, r.cluster_id) for r in cluster_pages(pages).collect()
+    )
+    assert got == want

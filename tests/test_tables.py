@@ -126,3 +126,32 @@ def test_bucketed_compaction_keeps_pruning(spark, tmp_path):
     pruned = t.read_buckets(spark, [1])
     assert pruned.count() < 50
     assert {r.node % 4 for r in pruned.collect()} == {1}
+
+
+def test_total_rows_manifest_tracking(spark, tmp_path):
+    """Manifest row-count stats: appends with row_count accumulate,
+    any uncounted append poisons the total to None (honest unknown),
+    and a counted commit (compaction) restores tracking — all O(1)
+    manifest reads, no table scan."""
+    from name_match_latest_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.total_rows() == 0  # empty table
+
+    df = spark.range(10).toDF("x")
+    t.append(df, batch_id=0, query_id="q", row_count=10)
+    assert t.total_rows() == 10
+    t.append(df, batch_id=1, query_id="q", row_count=10)
+    assert t.total_rows() == 20
+
+    t.append(df, batch_id=2, query_id="q")  # uncounted -> unknown
+    assert t.total_rows() is None
+    t.append(df, batch_id=3, query_id="q", row_count=10)
+    assert t.total_rows() is None  # stays unknown past the gap
+
+    t.commit(spark.range(40).toDF("x"), row_count=40)  # re-seeds
+    assert t.total_rows() == 40
+    t.append(df, batch_id=4, query_id="q", row_count=10)
+    assert t.total_rows() == 50
+    # stat matches reality
+    assert t.read(spark).count() == 50
