@@ -1,17 +1,21 @@
 """Similarity search over embedding columns (array<float>).
 
-* ``cosine_topk``      — brute-force top-k: exact baseline.  One
-  shuffle (the broadcast of the query set), JVM-side arithmetic via
-  higher-order functions — no UDF, no collect.
+* ``cosine_topk`` / ``l2_topk`` — brute-force top-k: exact baseline.
+  Two metric engines behind one contract (``_brute_topk``): the
+  default Arrow engine (numpy blocks over ``mapInPandas``, corpus-side
+  partial top-k, queries on a broadcast variable) and the JVM
+  higher-order-function fold it is equality-tested against.  One
+  shuffle either way.
 * ``lsh_bucket_topk``  — the scale path: random-hyperplane LSH
   bucketing (deterministic md5-derived hyperplane signs), candidates
   restricted to same-bucket pairs; top-k within buckets.  At 10^12
   rows the brute-force path is O(N·Q); LSH bounds it by bucket sizes
   exactly like person blocking keys.
 
-All dot products cast elements to double FIRST and fold sequentially
-(``F.aggregate``), so results are bit-comparable with the DuckDB
-oracle's double-precision loop.
+All dot products cast elements to double FIRST and accumulate
+left-to-right (``F.aggregate`` fold / per-dimension numpy adds), so
+results are bit-comparable with the DuckDB oracle's double-precision
+loop in BOTH engines.
 """
 
 from __future__ import annotations
@@ -63,7 +67,7 @@ def _brute_topk(
     metric_name: str,
     metric_fn,
     ascending: bool,
-    impl: str = "hof",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Shared exact-top-k scaffolding for the brute-force ANN metrics:
     queries broadcast, corpus streams map-side through the join, self
@@ -75,22 +79,26 @@ def _brute_topk(
 
     ``impl`` picks the metric engine:
 
-    * ``"hof"`` (default) — JVM higher-order-function fold.
-      Interpreted (CodegenFallback) but zero Python transfer; the
-      declared small-query baseline, and the form the DuckDB oracle
-      twins bit-exactly.
-    * ``"arrow"`` — numpy over Arrow batches: the corpus alone streams
-      through ``mapInPandas`` (queries ride a broadcast variable — the
-      pair matrix is never serialized), each batch computes its
-      metric block against all queries and emits a PARTIAL top-k, and
-      the same window takes the global top-k over ``batches × k``
-      survivors.  Accumulation is an explicit per-dimension
-      left-to-right loop of vectorized adds, so every float matches
-      the HOF fold (and therefore the oracle's sequential 64-term SQL)
-      BIT-EXACTLY — same values, same ties, same ranks
-      (tests/test_annsearch_arrow.py).  Wins once query count is
-      large (>10^4 — see docs/PLANS.md measurement); both impls keep
-      the same O(N·Q) work and one-shuffle shape.
+    * ``"arrow"`` (default) — numpy over Arrow batches: the corpus
+      alone streams through ``mapInPandas`` (queries ride a broadcast
+      variable — the pair matrix is never serialized), each batch
+      computes its metric block against all queries and emits a
+      PARTIAL top-k, and the same window takes the global top-k over
+      ``batches × k`` survivors.  Accumulation is an explicit
+      per-dimension left-to-right loop of vectorized adds, so every
+      float matches the HOF fold (and therefore the oracle's
+      sequential 64-term SQL) BIT-EXACTLY — same values, same ties,
+      same ranks (tests/test_annsearch_arrow.py).  Measured 12-76x
+      faster than the HOF fold from 10^3 to 10^4 queries on a 20k
+      corpus (docs/PLANS.md round-5 table).
+    * ``"hof"`` — JVM higher-order-function fold.  Interpreted
+      (CodegenFallback) but zero Python transfer and no driver-side
+      query collect; kept as the reference implementation the Arrow
+      engine is equality-tested against, and the fallback for corpora
+      whose embedding column is ragged or nullable (the Arrow path
+      np.stack-s fixed-dim batches).
+
+    Both impls keep the same O(N·Q) work and one-shuffle shape.
     """
     from pyspark.sql import Window
 
@@ -222,15 +230,14 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    impl: str = "hof",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` is expected to be small (it is broadcast); the corpus
-    side streams — this is a map-side join + per-query top-k via
-    window, no corpus self-join.  ``impl="arrow"`` switches the metric
-    engine to the numpy/Arrow batch path (bit-exact same results;
-    faster at large query counts — see ``_brute_topk``)."""
+    ``queries`` is expected to be small (broadcast / collected); the
+    corpus side streams — map-side metric + per-query top-k via
+    window, no corpus self-join.  ``impl`` selects the metric engine
+    (Arrow default, bit-exact "hof" reference — see ``_brute_topk``)."""
     return _brute_topk(
         embeddings, queries, k, id_col, vec_col,
         "cosine", cosine_col, ascending=False, impl=impl,
@@ -257,7 +264,7 @@ def l2_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    impl: str = "hof",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact top-k EUCLIDEAN neighbors per query — the second metric
     of the ANN family (L2 is the norm-sensitive complement of cosine:
