@@ -93,10 +93,18 @@ def _brute_topk(
       corpus (docs/PLANS.md round-5 table).
     * ``"hof"`` — JVM higher-order-function fold.  Interpreted
       (CodegenFallback) but zero Python transfer and no driver-side
-      query collect; kept as the reference implementation the Arrow
-      engine is equality-tested against, and the fallback for corpora
-      whose embedding column is ragged or nullable (the Arrow path
-      np.stack-s fixed-dim batches).
+      query collect; kept as the independent reference implementation
+      the Arrow engine is equality-tested against.
+
+    Degenerate-input contract (the one place the engines diverge,
+    deliberately): the Arrow engine DROPS null / wrong-dimension
+    vectors (a corpus row that can never produce a finite metric is
+    not a neighbor; a null query has no meaningful top-k), where the
+    HOF fold propagates null metrics into the window — which under
+    ``F.asc`` ordering can rank a null-metric row FIRST for l2.
+    Zero-norm vectors under cosine RAISE in both engines (HOF via
+    ANSI DIVIDE_BY_ZERO, Arrow via an explicit ValueError) — silent
+    NaN handling would make results depend on Arrow chunk boundaries.
 
     Both impls keep the same O(N·Q) work and one-shuffle shape.
     """
@@ -150,11 +158,28 @@ def _arrow_partial_topk(
 
     metric_is_l2 = metric_name == "distance"
     q_rows = queries.select(id_col, vec_col).collect()
+    # null query vectors are dropped (a null can produce no finite
+    # metric; the HOF engine degenerately ranks arbitrary neighbors
+    # with a null metric for such a query — dropping is the sane
+    # contract and is documented as the one divergence)
+    q_rows = [r for r in q_rows if r[1] is not None]
     spark = corpus.sparkSession
     b_qids = spark.sparkContext.broadcast([r[0] for r in q_rows])
-    b_qmat = spark.sparkContext.broadcast(
-        np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    )
+    qmat_driver = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    if not metric_is_l2 and len(q_rows):
+        zn = ~np.any(qmat_driver != 0.0, axis=1)
+        if zn.any():
+            # the HOF engine raises DIVIDE_BY_ZERO under ANSI for a
+            # zero-norm vector; raising here keeps the engines'
+            # observable behavior aligned AND deterministic (silent
+            # NaN handling would make inclusion depend on Arrow
+            # chunk boundaries)
+            raise ValueError(
+                "cosine_topk: zero-norm query vector(s) "
+                f"{[q_rows[i][0] for i in np.flatnonzero(zn)][:5]}"
+            )
+    b_qmat = spark.sparkContext.broadcast(qmat_driver)
+    dim = qmat_driver.shape[1] if qmat_driver.size else 0
     id_type = corpus.schema["neighbor_id"].dataType.simpleString()
     out_schema = (
         f"query_id {id_type}, neighbor_id {id_type}, {metric_name} double"
@@ -173,18 +198,40 @@ def _arrow_partial_topk(
         qmat = b_qmat.value
         nq = len(qids)
         sign = 1.0 if ascending else -1.0
+        # hoisted: query norms are fixed for the whole task — do not
+        # recompute them once per corpus chunk
+        q_norms = None if metric_is_l2 else seq_sq_norm(qmat)
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or nq == 0:
                 continue
-            call = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["_cvec"]]
-            )
-            nids_all = pdf["neighbor_id"].to_numpy()
+            # null / ragged corpus vectors can never produce a finite
+            # metric: drop them (documented divergence — see
+            # _brute_topk) instead of crashing np.stack
+            vecs = [
+                (i, np.asarray(v, dtype=np.float64))
+                for i, v in enumerate(pdf["_cvec"])
+                if v is not None and len(v) == dim
+            ]
+            if not vecs:
+                continue
+            call = np.stack([v for _, v in vecs])
+            nids_all = pdf["neighbor_id"].to_numpy()[[i for i, _ in vecs]]
             out_q, out_n, out_m = [], [], []
             for cs in range(0, len(call), C_CHUNK):
                 C = call[cs : cs + C_CHUNK]
                 nids = nids_all[cs : cs + C_CHUNK]
-                cn = None if metric_is_l2 else seq_sq_norm(C)
+                if metric_is_l2:
+                    cn = None
+                else:
+                    cn = seq_sq_norm(C)
+                    if not np.all(cn != 0.0):
+                        # ANSI-parity with the HOF engine's
+                        # DIVIDE_BY_ZERO — and deterministic, unlike
+                        # chunk-boundary-dependent NaN handling
+                        raise ValueError(
+                            "cosine_topk: zero-norm corpus vector(s) "
+                            f"{nids[np.flatnonzero(cn == 0.0)][:5].tolist()}"
+                        )
                 for qs in range(0, nq, Q_CHUNK):
                     Qc = qmat[qs : qs + Q_CHUNK]
                     m = np.zeros((C.shape[0], Qc.shape[0]), dtype=np.float64)
@@ -196,7 +243,7 @@ def _arrow_partial_topk(
                     else:
                         for t in range(C.shape[1]):
                             m += C[:, t, None] * Qc[None, :, t]
-                        m = m / (cn[:, None] * seq_sq_norm(Qc)[None, :])
+                        m = m / (cn[:, None] * q_norms[qs : qs + Q_CHUNK][None, :])
                     for j in range(Qc.shape[0]):
                         qid = qids[qs + j]
                         mask = nids != qid

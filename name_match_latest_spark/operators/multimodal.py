@@ -7,15 +7,16 @@ with typed metadata alongside; transforms run as Arrow-batched
 Decode support (no PIL/ffmpeg in this container — these kernels are
 pure stdlib ``struct``/``zlib`` + numpy, i.e. REAL decodes, not stubs):
 
-* images — uncompressed 24-bit BMP, 8-bit non-interlaced PNG
-  (DEFLATE via stdlib zlib; gray/gray+alpha/RGB/RGBA/palette, all five
-  scanline filters) AND GIF87a/89a (first frame; full variable-width
-  LZW decode incl. interlaced frames): decode, nearest-neighbor
-  resize, re-encode (GIF re-encodes via an adaptive median-cut-free
-  palette only when the resized frame has <=256 colors — true for
-  nearest-neighbor output of a GIF input — else falls back to PNG).
-  JPEG (and Adam7-interlaced PNG) raise at execution time with a
-  clear message: that codec genuinely needs PIL/opencv.
+* images — uncompressed 24-bit BMP, 8-bit PNG (DEFLATE via stdlib
+  zlib; gray/gray+alpha/RGB/RGBA/palette, all five scanline filters,
+  Adam7 interlace de-multiplexed via 7-pass strided reassembly) AND
+  GIF87a/89a (first frame; full variable-width LZW decode incl.
+  interlaced frames): decode, nearest-neighbor resize, re-encode
+  (GIF re-encodes via an adaptive median-cut-free palette only when
+  the resized frame has <=256 colors — true for nearest-neighbor
+  output of a GIF input — else falls back to PNG).  JPEG raises at
+  execution time with a clear message: that codec genuinely needs
+  PIL/opencv.
 * audio  — RIFF/WAVE PCM16: real sample decode -> duration/RMS/ZCR/
   peak features.
 * video  — uncompressed RIFF/AVI ('00db' DIB frames): real frame

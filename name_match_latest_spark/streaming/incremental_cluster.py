@@ -516,31 +516,43 @@ class IncrementalClusterer:
             row_count=n_edges,
         )
 
-        # version monotone ACROSS checkpoint lineages, not just within
-        # one (a fresh checkpoint restarts batch ids at 0)
-        version = (self._lineage_epoch(lineage) << 32) | batch_id
-        delta = (
-            self._merge_log_delta(new_edges, new_nodes=prepared.select("id"))
-            .withColumn("version", F.lit(version).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        n_delta = delta.count()
-        # a crawl-tick delta is small: collapse the shuffle-width
-        # partitioning before the write or the label log grows ~32
-        # near-empty files per batch (the file-count compaction
-        # trigger would then fire on write fan-out, not log size)
-        delta = delta.coalesce(max(1, min(32, n_delta // 2_000_000 + 1)))
-        delta_snap = self.labels.append(
-            delta,
-            batch_id=batch_id,
-            query_id=f"{lineage}:labels",
-            bucket_by=(
-                ("node", self.label_buckets)
-                if self.label_buckets is not None
-                else None
-            ),
-            row_count=n_delta,
-        )
+        # replay gate BEFORE the delta computation: append() would
+        # discard a replayed batch at its watermark check without ever
+        # evaluating the DataFrame, but the eager checkpoint + count
+        # below (needed for the manifest row stat) would have already
+        # executed the full merge-log plan — log scan, resolve window,
+        # condensed CC — only to throw it away
+        last_label = self.labels.last_batch_id(f"{lineage}:labels")
+        if last_label is not None and batch_id <= last_label:
+            delta_snap = None  # replayed batch — already committed
+        else:
+            # version monotone ACROSS checkpoint lineages, not just
+            # within one (a fresh checkpoint restarts batch ids at 0)
+            version = (self._lineage_epoch(lineage) << 32) | batch_id
+            delta = (
+                self._merge_log_delta(
+                    new_edges, new_nodes=prepared.select("id")
+                )
+                .withColumn("version", F.lit(version).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            n_delta = delta.count()
+            # a crawl-tick delta is small: collapse the shuffle-width
+            # partitioning before the write or the label log grows ~32
+            # near-empty files per batch (the file-count compaction
+            # trigger would then fire on write fan-out, not log size)
+            delta = delta.coalesce(max(1, min(32, n_delta // 2_000_000 + 1)))
+            delta_snap = self.labels.append(
+                delta,
+                batch_id=batch_id,
+                query_id=f"{lineage}:labels",
+                bucket_by=(
+                    ("node", self.label_buckets)
+                    if self.label_buckets is not None
+                    else None
+                ),
+                row_count=n_delta,
+            )
         if delta_snap is not None:  # None = replay; already audited
             self.audit.commit(
                 batch_id,

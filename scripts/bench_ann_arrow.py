@@ -63,8 +63,9 @@ def main() -> None:
         int(CPUS)
     ).localCheckpoint(eager=True)
 
-    # warm the session / python workers
-    cosine_topk(corpus.limit(500), corpus.limit(20), k=5).count()
+    # warm BOTH engines (the default flip made the bare call arrow —
+    # the hof leg must not absorb one-time JVM/codegen costs)
+    cosine_topk(corpus.limit(500), corpus.limit(20), k=5, impl="hof").count()
     cosine_topk(corpus.limit(500), corpus.limit(20), k=5, impl="arrow").count()
 
     results = []
