@@ -1,0 +1,515 @@
+"""Baseline JFIF (JPEG) codec in stdlib + numpy — no PIL/ffmpeg.
+
+Scope (the honest-raise list's last image entry, closed round 5):
+
+* ``decode_jpeg``: baseline sequential DCT JPEG (SOF0) — arbitrary
+  valid Huffman tables, 8/16-bit quant tables, grayscale or 3-channel
+  YCbCr with any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...,
+  nearest-neighbor chroma upsample), restart markers, byte stuffing.
+  Progressive (SOF2) and arithmetic-coded (SOF9+) streams raise
+  ``NotImplementedError`` honestly; malformed streams raise
+  ``ValueError``.
+* ``encode_jpeg``: baseline encoder used by tests and re-encode paths
+  (resize round-trip, MJPEG frame wrapping): 4:4:4 by default or
+  2x2-subsampled chroma, configurable flat quantization (``quant=1``
+  is near-lossless — the only loss is DCT rounding), optional restart
+  interval.  Huffman tables are built per image as canonical
+  flat-length codes (spec-valid DHT, decodable by any baseline
+  decoder) rather than hardcoding the Annex K tables.
+
+The IDCT/DCT are exact orthonormal matrix transforms in float64; the
+spec does not mandate a bit-exact IDCT, so tests assert tight
+tolerances (and exactness of the entropy layer by construction).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+
+def _zigzag() -> np.ndarray:
+    """The 64-entry zigzag scan: position k -> (row, col) flat index."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        order.extend(diag if s % 2 else diag[::-1])
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZZ = _zigzag()
+
+# orthonormal DCT-II basis: spatial = _DCT_T.T @ coef @ _DCT_T
+_DCT_T = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else 0.5)
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _extend(bits: int, size: int) -> int:
+    """JPEG magnitude decoding (F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+class _BitReader:
+    """MSB-first reader over one entropy-coded segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self._pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self._pos + n
+        if end > len(self._bits):
+            raise ValueError("JPEG entropy segment exhausted mid-symbol")
+        out = 0
+        for b in self._bits[self._pos : end]:
+            out = (out << 1) | int(b)
+        self._pos = end
+        return out
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _canonical_table(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    table: dict[tuple[int, int], int] = {}
+    code, vi = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    if vi != len(values):
+        raise ValueError("JPEG DHT length mismatch")
+    return table
+
+
+def _split_scan(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``pos`` -> (segments split at restart
+    markers, position of the terminating marker's 0xFF).  Handles
+    byte stuffing (FF00 -> FF)."""
+    segments, cur = [], bytearray()
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            break
+        m = buf[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segments.append(bytes(cur))
+    return segments, pos
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+    restart = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                off += 1
+                if pq:
+                    vals = np.frombuffer(body, dtype=">u2", count=64, offset=off)
+                    off += 128
+                else:
+                    vals = np.frombuffer(body, dtype=np.uint8, count=64, offset=off)
+                    off += 64
+                qt[tq] = vals.astype(np.int64)
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                values = body[off + 17 : off + 17 + nv]
+                huff[(tc, th)] = _canonical_table(bits, values)
+                off += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq_ = struct.unpack_from(">BBB", body, 1 + 5 + i * 3)
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) decodes here — "
+                "progressive/arithmetic streams need an external codec"
+            )
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, tbl = body[1 + i * 2], body[2 + i * 2]
+                scan_tables[cs] = (tbl >> 4, tbl & 15)
+            segments, pos = _split_scan(payload, pos)
+            return _decode_scan(frame, qt, huff, scan_tables, segments, restart)
+    raise ValueError("JPEG stream ended without a scan")
+
+
+def _decode_scan(frame, qt, huff, scan_tables, segments, restart) -> np.ndarray:
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("empty JPEG frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _ in comps
+    }
+    preds = {cid: 0 for cid, *_ in comps}
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    for mcu in range(mcux * mcuy):
+        if restart and mcu and mcu % restart == 0:
+            reader = _BitReader(next(seg_iter, b""))
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(mcu, mcux)
+        for cid, hi, vi, tq in comps:
+            if tq not in qt:
+                raise ValueError("JPEG references undefined quant table")
+            td, ta = scan_tables[cid]
+            dc_tbl, ac_tbl = huff.get((0, td)), huff.get((1, ta))
+            if dc_tbl is None or ac_tbl is None:
+                raise ValueError("JPEG references undefined Huffman table")
+            for by in range(vi):
+                for bx in range(hi):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = reader.huff(dc_tbl)
+                    preds[cid] += _extend(reader.read(s), s)
+                    zz[0] = preds[cid]
+                    k = 0
+                    while k < 63:
+                        rs = reader.huff(ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r + 1
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.read(s), s)
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZZ] = zz * qt[tq]
+                    spatial = (
+                        _DCT_T.T @ block.reshape(8, 8) @ _DCT_T
+                    ) + 128.0
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    full = []
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(full) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEG decodes here")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+# --- encoder ------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._nbits += 1
+            if self._nbits == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._nbits = 0
+
+    def flush(self) -> None:
+        while self._nbits:
+            self.write(1, 1)  # pad with 1s per spec
+
+
+def _size_of(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _mag_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _flat_huff(symbols: set[int]) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """Canonical flat-length Huffman table over ``symbols``: every
+    symbol gets length L with 2**L > len(symbols), so the all-ones
+    code is never assigned (spec requirement).  Returns (BITS[16],
+    VALUES, symbol -> (code, length))."""
+    vals = sorted(symbols) or [0]
+    length = max(2, (len(vals) + 1).bit_length())
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    enc = {}
+    code = 0  # canonical start code at the sole length is 0
+    for v in vals:
+        enc[v] = (code, length)
+        code += 1
+    return bits, bytes(vals), enc
+
+
+def _block_symbols(blocks: list[np.ndarray]) -> tuple[set[int], set[int]]:
+    """(DC size symbols, AC run/size symbols) used by zigzag blocks
+    whose DC entries are already differences."""
+    dc, ac = set(), set()
+    for zz in blocks:
+        dc.add(_size_of(int(zz[0])))
+        run = 0
+        last = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac.add(0xF0)
+                run -= 16
+            ac.add((run << 4) | _size_of(v))
+            run = 0
+        if last < 63:
+            ac.add(0x00)
+    return dc, ac
+
+
+def _encode_blocks(writer, blocks, dc_enc, ac_enc) -> None:
+    for zz in blocks:
+        v = int(zz[0])
+        s = _size_of(v)
+        code, ln = dc_enc[s]
+        writer.write(code, ln)
+        writer.write(_mag_bits(v, s), s)
+        run = 0
+        last = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            s = _size_of(v)
+            code, ln = ac_enc[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(_mag_bits(v, s), s)
+            run = 0
+        if last < 63:
+            code, ln = ac_enc[0x00]
+            writer.write(code, ln)
+
+
+def _fdct_blocks(plane: np.ndarray, q: np.ndarray) -> list[np.ndarray]:
+    """Plane (multiple-of-8 dims) -> per-block quantized zigzag vectors
+    in raster block order, DC as raw values (differencing happens at
+    MCU interleave time)."""
+    h, w = plane.shape
+    out = []
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coef = _DCT_T @ block @ _DCT_T.T
+            zz = np.round(coef.reshape(-1)[_ZZ] / q).astype(np.int64)
+            out.append(zz)
+    return out
+
+
+def _pad_edge(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.  ``quant=1`` is
+    near-lossless (DCT rounding only); larger values scale a flat
+    quant table.  ``subsample=True`` encodes 4:2:0 (2x2-averaged
+    chroma)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    if subsample:
+        sh, sv = 2, 2
+        ch = -(-h // 2)
+        cw = -(-w // 2)
+        pe = _pad_edge
+        cbp = pe(cb, ch * 2, cw * 2).reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+        crp = pe(cr, ch * 2, cw * 2).reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+    else:
+        sh = sv = 1
+        cbp, crp = cb, cr
+
+    mcux = -(-w // (8 * sh))
+    mcuy = -(-h // (8 * sv))
+    q = np.full(64, max(1, int(quant)), dtype=np.int64)
+    yb = _fdct_blocks(_pad_edge(y, mcuy * sv * 8, mcux * sh * 8), q)
+    cbb = _fdct_blocks(_pad_edge(cbp, mcuy * 8, mcux * 8), q)
+    crb = _fdct_blocks(_pad_edge(crp, mcuy * 8, mcux * 8), q)
+
+    # interleave blocks in MCU order and difference the DCs in that
+    # order (per component, reset at restart boundaries)
+    ordered: list[tuple[int, np.ndarray]] = []  # (component 0/1/2, zz)
+    ybw = mcux * sh  # luma blocks per row
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for by in range(sv):
+            for bx in range(sh):
+                ordered.append((0, yb[(my * sv + by) * ybw + mx * sh + bx]))
+        ordered.append((1, cbb[my * mcux + mx]))
+        ordered.append((2, crb[my * mcux + mx]))
+    preds = [0, 0, 0]
+    mcu_size = sv * sh + 2
+    for i, (c, zz) in enumerate(ordered):
+        if restart_interval and (i // mcu_size) % restart_interval == 0 and i % mcu_size == 0:
+            preds = [0, 0, 0]
+        d = int(zz[0]) - preds[c]
+        preds[c] = int(zz[0])
+        zz = zz.copy()
+        zz[0] = d
+        ordered[i] = (c, zz)
+
+    luma = [zz for c, zz in ordered if c == 0]
+    chroma = [zz for c, zz in ordered if c != 0]
+    dcl, acl = _block_symbols(luma)
+    dcc, acc = _block_symbols(chroma)
+    bits_dcl, vals_dcl, enc_dcl = _flat_huff(dcl)
+    bits_acl, vals_acl, enc_acl = _flat_huff(acl)
+    bits_dcc, vals_dcc, enc_dcc = _flat_huff(dcc)
+    bits_acc, vals_acc, enc_acc = _flat_huff(acc)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + bytes(
+        int(v) for v in q
+    )
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * 3, 8, h, w, 3
+    ) + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0])
+    for tc, th, bits, vals in (
+        (0, 0, bits_dcl, vals_dcl),
+        (1, 0, bits_acl, vals_acl),
+        (0, 1, bits_dcc, vals_dcc),
+        (1, 1, bits_acc, vals_acc),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    writer = _BitWriter()
+    enc = {0: (enc_dcl, enc_acl), 1: (enc_dcc, enc_acc), 2: (enc_dcc, enc_acc)}
+    group: list[tuple[int, np.ndarray]] = []
+    n_mcus = mcux * mcuy
+    rst = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            out += writer.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            writer = _BitWriter()
+        for c, zz in ordered[mcu * mcu_size : (mcu + 1) * mcu_size]:
+            d, a = enc[c]
+            _encode_blocks(writer, [zz], d, a)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -14,14 +14,16 @@ pure stdlib ``struct``/``zlib`` + numpy, i.e. REAL decodes, not stubs):
   interlaced frames): decode, nearest-neighbor resize, re-encode
   (GIF re-encodes via an adaptive median-cut-free palette only when
   the resized frame has <=256 colors — true for nearest-neighbor
-  output of a GIF input — else falls back to PNG).  JPEG raises at
-  execution time with a clear message: that codec genuinely needs
-  PIL/opencv.
+  output of a GIF input — else falls back to PNG) AND baseline
+  sequential JPEG (operators/jpeg.py: arbitrary Huffman tables,
+  chroma subsampling, restart markers; progressive/arithmetic
+  streams still raise honestly).
 * audio  — RIFF/WAVE PCM16: real sample decode -> duration/RMS/ZCR/
   peak features.
-* video  — uncompressed RIFF/AVI ('00db' DIB frames): real frame
-  sampling by timestamp, frames re-wrapped as standalone BMPs.
-  Compressed codecs ('00dc') raise: they need ffmpeg.
+* video  — RIFF/AVI with uncompressed '00db' DIB frames or MJPEG
+  '00dc' frames: real frame sampling by timestamp, frames re-wrapped
+  as standalone BMPs.  Non-MJPEG compressed codecs raise: they need
+  ffmpeg.
 * everything else — ``DETERMINISTIC_FAKE`` md5 features keep the
   pipeline runnable end-to-end and byte-reproducible.
 
@@ -67,7 +69,11 @@ __all__ = [
     "decode_gif",
     "encode_gif",
     "decode_wav_pcm16",
+    "decode_jpeg",
+    "encode_jpeg",
 ]
+
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402
 
 _MAGIC = [
     (b"\x89PNG", "image/png"),
@@ -542,9 +548,12 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
     return rate, channels, data
 
 
-def _avi_frames(payload: bytes) -> tuple[float, bytes, list[bytes]]:
+def _avi_frames(payload: bytes) -> tuple[float, bytes, list[tuple[str, bytes]]]:
     """RIFF/AVI -> (seconds_per_frame, video strf BITMAPINFOHEADER,
-    uncompressed '00db' frame payloads).  '00dc' (compressed) raises."""
+    [(kind, frame payload)]) with kind 'dib' (uncompressed '00db')
+    or 'jpeg' (MJPEG '00dc' — each chunk is a standalone baseline
+    JPEG, decoded by operators.jpeg).  Non-MJPEG '00dc' codecs
+    (cinepak/h264/...) still raise — those need ffmpeg."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     spf, strf, frames = None, None, []
@@ -559,13 +568,17 @@ def _avi_frames(payload: bytes) -> tuple[float, bytes, list[bytes]]:
             elif fourcc == b"strf" and strf is None:
                 strf = payload[off : off + size]
             elif fourcc == b"00db":
-                frames.append(payload[off : off + size])
+                frames.append(("dib", payload[off : off + size]))
             elif fourcc == b"00dc":
-                raise NotImplementedError(
-                    "compressed AVI stream ('00dc') requires ffmpeg, "
-                    "unavailable in this container — only uncompressed "
-                    "'00db' DIB frames decode here"
-                )
+                data = payload[off : off + size]
+                if data[:3] == b"\xff\xd8\xff":
+                    frames.append(("jpeg", data))  # MJPEG
+                else:
+                    raise NotImplementedError(
+                        "compressed AVI stream ('00dc') beyond MJPEG "
+                        "requires ffmpeg, unavailable in this container "
+                        "— '00db' DIB and MJPEG frames decode here"
+                    )
 
     walk(12, len(payload))
     if spf is None or strf is None:
@@ -601,12 +614,16 @@ def auto_featurize(payload: bytes) -> list[float]:
             payload[:2] == b"BM"
             or payload[:8] == _PNG_SIG
             or payload[:4] == b"GIF8"
+            or payload[:3] == b"\xff\xd8\xff"
         ):
-            decode = (
-                decode_bmp
-                if payload[:2] == b"BM"
-                else (decode_png if payload[:8] == _PNG_SIG else decode_gif)
-            )
+            if payload[:2] == b"BM":
+                decode = decode_bmp
+            elif payload[:8] == _PNG_SIG:
+                decode = decode_png
+            elif payload[:4] == b"GIF8":
+                decode = decode_gif
+            else:
+                decode = decode_jpeg
             img = decode(payload).astype(np.float64) / 255.0
             h, w = img.shape[:2]
             means = img.reshape(-1, 3).mean(axis=0)
@@ -667,10 +684,10 @@ def resize_images(
     payload_col: str = "payload",
 ) -> DataFrame:
     """binary -> binary resized image via mapInPandas.  REAL for
-    uncompressed 24-bit BMP and 8-bit non-interlaced PNG (stdlib
-    struct/zlib decode + numpy nearest-neighbor, re-encoded in the
-    input's own format); JPEG raises at execution time — its codec
-    needs PIL/opencv, absent from this container."""
+    uncompressed 24-bit BMP, 8-bit PNG, GIF, and baseline JPEG
+    (stdlib struct/zlib + numpy decode, nearest-neighbor resample,
+    re-encoded in the input's own format); anything else raises at
+    execution time — those codecs need PIL/opencv."""
     schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -692,11 +709,13 @@ def resize_images(
                     decode, encode = decode_png, encode_png
                 elif payload[:4] == b"GIF8":
                     decode, encode = decode_gif, encode_gif
+                elif payload[:3] == b"\xff\xd8\xff":
+                    decode, encode = decode_jpeg, encode_jpeg
                 else:
                     raise NotImplementedError(
-                        "non-BMP/PNG/GIF image resize requires PIL/opencv, "
-                        "unavailable in this container (BMP, 8-bit "
-                        "non-interlaced PNG, and GIF decode here)"
+                        "non-BMP/PNG/GIF/JPEG image resize requires "
+                        "PIL/opencv, unavailable in this container (BMP, "
+                        "8-bit PNG, GIF, and baseline JPEG decode here)"
                     )
                 resized = _resize_nearest(decode(payload), width, height)
                 try:
@@ -724,9 +743,11 @@ def sample_video_frames(
     payload_col: str = "payload",
 ) -> DataFrame:
     """video binary -> array<binary> frame samples via mapInPandas.
-    REAL for uncompressed RIFF/AVI ('00db' DIB frames, sampled by
-    timestamp and re-wrapped as standalone BMPs); compressed codecs
-    raise — they need ffmpeg."""
+    REAL for RIFF/AVI with uncompressed '00db' DIB frames or MJPEG
+    '00dc' frames (each a baseline JPEG, decoded by operators.jpeg),
+    sampled by timestamp and re-wrapped as standalone BMPs so every
+    emitted frame is uniform; other compressed codecs raise — they
+    need ffmpeg."""
     schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -744,11 +765,14 @@ def sample_video_frames(
                 step = max(1, round(every_n_seconds / max(spf, 1e-9)))
                 picked = frames[::step]
                 wrapped = []
-                for dib in picked:
+                for kind, data in picked:
+                    if kind == "jpeg":
+                        wrapped.append(encode_bmp(decode_jpeg(data)))
+                        continue
                     file_hdr = struct.pack(
-                        "<2sIHHI", b"BM", 14 + len(strf) + len(dib), 0, 0, 14 + len(strf)
+                        "<2sIHHI", b"BM", 14 + len(strf) + len(data), 0, 0, 14 + len(strf)
                     )
-                    wrapped.append(file_hdr + strf + dib)
+                    wrapped.append(file_hdr + strf + data)
                 sampled.append(wrapped)
             yield pd.DataFrame({id_col: pdf[id_col], "frames": sampled})
 

@@ -82,6 +82,10 @@ BROADCAST_BATCH_MAX = 500_000
 #: as the batch operator's ``dedup.AUTO_BUCKET_CAP``
 WITHIN_BATCH_BUCKET_CAP = 100
 
+#: band rows per doc in the gate's LSH (minhash_bands default bands=4)
+#: — sizes the can-the-band-probe-prune heuristic under corpus_buckets
+GATE_BANDS_PER_DOC = 4
+
 
 
 class IncrementalClusterer:
@@ -103,6 +107,7 @@ class IncrementalClusterer:
         label_buckets: int | None = None,
         compact_factor: float | None = 4.0,
         compact_max_files: int = 256,
+        corpus_buckets: int | None = None,
     ) -> None:
         """``label_buckets`` enables Iceberg-style bucket pruning on
         the label log (files partitioned by pmod(node, N); endpoint
@@ -112,6 +117,34 @@ class IncrementalClusterer:
         regime with N sized to ~corpus/10^7 (measured at sandbox
         scale, where every batch touches all buckets, the layout
         overhead exceeds the pruning gain — hence opt-in).
+
+        ``corpus_buckets`` applies the same layout to the dedup gate's
+        CORPUS-side tables — the gate's only per-batch terms that grow
+        with corpus size (measured decomposition in BASELINE.md round
+        5).  ``docs`` is laid out bucketed by pmod(crc32(doc_id), N)
+        so the candidate-text fetch for near-dup verification (the
+        text column is the heavy read) touches only the bucket files
+        that can hold a candidate id; ``docs_bands`` by
+        pmod(crc32(band_hash), N) so the corpus band equi-join reads
+        only the band buckets the batch occupies.  The layout is
+        established and maintained by :meth:`compact_corpus` (auto-
+        triggered via ``compact_max_files``): per-batch appends stay
+        flat single files and fold into the bucketed base
+        periodically, so probes read [pruned base + flat tail] — the
+        Iceberg small-file/bin-packing write path.  Same regime caveat
+        as ``label_buckets``: the probe-bucket set must be a small
+        fraction of N, i.e. small ticks against a huge corpus (a 10k-
+        row backfill batch touches every bucket and pays the layout's
+        file-count overhead for nothing).  The byte-exact text_hash
+        semi-join stays a full scan on purpose: it reads ONE thin
+        column, and its probe set (every batch hash) always spans all
+        buckets.  Buckets are layout only — every exact join/filter
+        still applies on top, so results are invariant (asserted by
+        tests/test_incremental_cluster.py).  Like ``label_buckets``,
+        pick the value when the state dir is created and keep it:
+        pre-existing files written without the key column stay
+        readable (read_buckets always includes unbucketed files) but
+        never prune.
 
         ``compact_factor`` wires label-log compaction into the batch
         loop itself (a long-running crawl must not depend on an
@@ -124,8 +157,12 @@ class IncrementalClusterer:
         near the floor but whose per-read open cost grows one file per
         batch).  Both signals come from O(1) manifest stats
         (``SnapshotTable.total_rows`` / manifest file list), so the
-        check costs no table scan per batch.  ``compact_factor=None``
-        disables auto-compaction (manual :meth:`maintain` only)."""
+        check costs no table scan per batch.  ``compact_max_files``
+        also bounds the gate's corpus tables (docs / docs_bands) via
+        :meth:`compact_corpus` — essential under ``corpus_buckets``,
+        where every append fans out to one file per occupied bucket.
+        ``compact_factor=None`` disables auto-compaction (manual
+        :meth:`maintain` only)."""
         self.spark = spark
         self.mentions = SnapshotTable(os.path.join(state_dir, "mentions"))
         self.edges = SnapshotTable(os.path.join(state_dir, "edges"))
@@ -135,6 +172,7 @@ class IncrementalClusterer:
         self.label_buckets = label_buckets
         self.compact_factor = compact_factor
         self.compact_max_files = compact_max_files
+        self.corpus_buckets = corpus_buckets
         self._epochs: dict[str, int] = {}
         if dedup_threshold is not None:
             self.docs = SnapshotTable(os.path.join(state_dir, "docs"))
@@ -275,6 +313,7 @@ class IncrementalClusterer:
             )
             .localCheckpoint(eager=True)
         )
+        n0 = batch.count()  # cheap (checkpointed); band-probe heuristic
         # 1. byte-exact within the batch (keep min url)
         w = Window.partitionBy("text_hash").orderBy("doc_id")
         batch = (
@@ -323,12 +362,30 @@ class IncrementalClusterer:
             batch = batch.join(
                 F.broadcast(dup_hashes.distinct()), "text_hash", "left_anti"
             )
-            # 3b. near-dup vs corpus: band equi-join (batch broadcast)
+            # 3b. near-dup vs corpus: band equi-join (batch broadcast),
+            # corpus side bucket-pruned to the batch's band buckets
+            # when the table is bucketed (see __init__ corpus_buckets)
             bands_snap = self.docs_bands.snapshot_before(
                 batch_id, f"{lineage}:docs_bands"
             )
-            corpus_bands = self.docs_bands.read(spark, bands_snap)
             batch_bands = bands_of(batch)
+            if self.corpus_buckets is None:
+                corpus_bands = self.docs_bands.read(spark, bands_snap)
+            else:
+                # a batch with >= N/4 rows occupies essentially every
+                # band bucket (4 near-uniform md5 band hashes per doc)
+                # — skip the probe job entirely and read full; only
+                # genuinely small ticks can prune the band table
+                probe = (
+                    self._touched_buckets(batch_bands, "band_hash")
+                    if GATE_BANDS_PER_DOC * n0 < self.corpus_buckets
+                    else None
+                )
+                corpus_bands = (
+                    self.docs_bands.read_buckets(spark, probe, bands_snap)
+                    if probe is not None
+                    else self.docs_bands.read(spark, bands_snap)
+                )
             cand = (
                 corpus_bands.join(
                     F.broadcast(batch_bands.withColumnRenamed("doc_id", "d1")),
@@ -340,22 +397,65 @@ class IncrementalClusterer:
                 # lineage scans the full corpus band table
                 .localCheckpoint(eager=True)
             )
+            # candidate-TEXT fetch: the heavy corpus read (text column).
+            # When bucketed, read only the doc buckets holding a
+            # candidate — cand is tiny after banding, so this is the
+            # point-lookup regime the layout exists for.
+            if self.corpus_buckets is None:
+                fetch_docs = corpus
+            else:
+                fetch_docs = self.docs.read_buckets(
+                    spark, self._touched_buckets(cand, "d2"), docs_snap
+                )
             dup_batch_ids = (
-                self._verified_dups(cand, batch, corpus)
+                self._verified_dups(cand, batch, fetch_docs)
                 .select(F.col("d1").alias("doc_id"))
                 .distinct()
             )
             batch = batch.join(F.broadcast(dup_batch_ids), "doc_id", "left_anti")
 
         batch = batch.localCheckpoint(eager=True)
-        self.docs.append(batch, batch_id=batch_id, query_id=f"{lineage}:docs")
+        n_batch = batch.count()
+        out_docs, out_bands = batch, bands_of(batch)
+        if self.corpus_buckets is not None:
+            out_docs = out_docs.withColumn("doc_key", F.crc32("doc_id"))
+            out_bands = out_bands.withColumn("band_key", F.crc32("band_hash"))
+        # appends stay FLAT and coalesced (a crawl tick is one file)
+        # even under corpus_buckets: bucketed per-batch writes would
+        # fan out to one file per occupied bucket per batch.  Instead
+        # compact_corpus periodically folds the flat tail into the
+        # bucketed base — read_buckets always includes unbucketed
+        # files, so the mixed layout reads correctly in between, and
+        # append() inherits the parent's bucket spec in the manifest.
+        nparts = max(1, min(32, n_batch // 2_000_000 + 1))
+        self.docs.append(
+            out_docs.coalesce(nparts),
+            batch_id=batch_id,
+            query_id=f"{lineage}:docs",
+            row_count=n_batch,
+        )
         self.docs_bands.append(
-            bands_of(batch),
+            out_bands.coalesce(nparts),
             batch_id=batch_id,
             query_id=f"{lineage}:docs_bands",
         )
         survivors = batch.select(F.col("doc_id").alias("url"))
         return pages.join(F.broadcast(survivors), "url", "left_semi")
+
+    def _touched_buckets(self, df: DataFrame, col: str) -> list[int]:
+        """Distinct corpus-bucket ids ``pmod(crc32(col), N)`` occupied
+        by ``df`` — the probe list for ``SnapshotTable.read_buckets``.
+        Collected via a map-side-partial ``collect_set`` (one short
+        job, no wide exchange); the result is bounded by N values
+        (same discipline as the label path's ``log_for_nodes``), never
+        by ``df``'s row count.  The crc32 here and the one
+        ``_dedup_gate`` stamps into the stored ``doc_key``/``band_key``
+        columns are the SAME Spark function, so probe and layout can
+        never disagree."""
+        row = df.select(
+            F.pmod(F.crc32(col), F.lit(self.corpus_buckets)).alias("b")
+        ).agg(F.collect_set("b").alias("bs")).collect()[0]
+        return list(row.bs)
 
     def _within_batch_candidates(self, bands: DataFrame) -> DataFrame:
         """(d1, d2) near-dup candidate pairs within ONE batch, with
@@ -712,9 +812,13 @@ class IncrementalClusterer:
 
     def maintain(self) -> dict:
         """Periodic housekeeping for a long-running crawl: compact the
-        label log, then expire superseded snapshots + GC orphan files
-        on every state table.  Returns per-table stats."""
+        label log and the gate's corpus tables, then expire superseded
+        snapshots + GC orphan files on every state table.  Call ONLY
+        at a consistent stop point (stream drained, no partially
+        committed batch) — see ``compact_corpus``.  Returns per-table
+        stats."""
         self.compact_labels(expire=True)
+        self.compact_corpus(expire=True)
         out = {"labels": "compacted"}
         for name in ("mentions", "edges", "docs", "docs_bands"):
             table = getattr(self, name)
@@ -732,18 +836,60 @@ class IncrementalClusterer:
         if self.compact_factor is None:
             return
         snap = self.labels.current_snapshot()
-        if snap is None:
-            return
-        n_files = len(self.labels._file_paths(snap))
-        log_rows = self.labels.total_rows(snap)
-        nodes = self.mentions.total_rows()
-        over_rows = (
-            log_rows is not None
-            and nodes is not None
-            and log_rows > self.compact_factor * max(nodes, 1)
-        )
-        if over_rows or n_files > self.compact_max_files:
-            self.compact_labels(expire=True)
+        if snap is not None:
+            n_files = len(self.labels._file_paths(snap))
+            log_rows = self.labels.total_rows(snap)
+            nodes = self.mentions.total_rows()
+            over_rows = (
+                log_rows is not None
+                and nodes is not None
+                and log_rows > self.compact_factor * max(nodes, 1)
+            )
+            if over_rows or n_files > self.compact_max_files:
+                self.compact_labels(expire=True)
+        # the gate's corpus tables accrete files per batch too — a
+        # BUCKETED layout up to one file per occupied bucket per
+        # append — and the gate's scans pay per-file open cost
+        if self.docs is not None:
+            for t in (self.docs, self.docs_bands):
+                s = t.current_snapshot()
+                if (
+                    s is not None
+                    and len(t._file_paths(s)) > self.compact_max_files
+                ):
+                    self.compact_corpus(expire=True)
+                    break
+
+    def compact_corpus(self, expire: bool = True) -> None:
+        """Fold the dedup gate's corpus tables (docs / docs_bands)
+        into single-base snapshots — Iceberg bin-packing.  A bucketed
+        layout otherwise accretes one file per occupied bucket per
+        batch, and every corpus scan (the byte-exact text_hash probe
+        reads the whole thin column) pays per-file open cost; the
+        rewrite restores one file per bucket (or a coalesced flat
+        layout when unbucketed).  Replay-safe from the auto trigger —
+        it runs only after a fully-committed batch, so a replay's
+        ``snapshot_before`` pin still excludes that batch's own rows
+        or skips everything at the append watermark.  A MANUAL call
+        (``maintain``) must happen at a consistent stop point: folding
+        a partially-committed batch's docs into the base would let its
+        replay see its own rows as corpus duplicates."""
+        for name, key in (("docs", "doc_key"), ("docs_bands", "band_key")):
+            table = getattr(self, name)
+            if table is None or table.current_snapshot() is None:
+                continue
+            df = table.read(self.spark).localCheckpoint(eager=True)
+            n = df.count()
+            spec = (
+                (key, self.corpus_buckets)
+                if self.corpus_buckets is not None and key in df.columns
+                else None
+            )
+            if spec is None:
+                df = df.coalesce(max(1, min(32, n // 2_000_000 + 1)))
+            table.commit(df, bucket_by=spec, row_count=n)
+            if expire:
+                table.expire_snapshots(keep_last=1)
 
     def compact_labels(self, expire: bool = True) -> str | None:
         """Fold the delta log into a single base snapshot (read cost is

@@ -693,3 +693,119 @@ def test_auto_compaction_bounds_label_log(spark, tmp_path):
         (r.id, r.cluster_id) for r in cluster_pages(pages).collect()
     )
     assert got == want
+
+
+def test_corpus_buckets_gate_equivalent_and_pruned(spark, tmp_path):
+    """corpus_buckets is LAYOUT ONLY: the bucketed gate makes the
+    identical ingest decisions (same surviving doc_ids, same final
+    clusters) as the unbucketed gate on the same batch sequence with
+    exact + near duplicates crossing batches — while the point-lookup
+    read provably touches FEWER files than the full corpus read
+    (DataFrame.inputFiles on the manifest-pruned scan)."""
+    from name_match_latest_spark.sources.web import generate_webpages
+    from name_match_latest_spark.streaming.incremental_cluster import (
+        IncrementalClusterer,
+    )
+
+    base = generate_webpages(spark, 80, seed=47).localCheckpoint()
+    idx = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("int")
+    b0 = base.filter(idx < 40)
+    rows = base.filter(idx < 40).orderBy("url").limit(3).collect()
+    dups = [
+        (
+            f"https://mirror.example.com/en/article/70{i}",
+            r.warc_ts,
+            r.html,
+            r.text + " extraword",  # near-dup of a batch-0 page
+            r.lang,
+            r.true_entities,
+        )
+        for i, r in enumerate(rows)
+    ] + [
+        (
+            "https://mirror.example.com/en/article/799",
+            rows[0].warc_ts,
+            rows[0].html,
+            rows[0].text,  # byte-exact dup of a batch-0 page
+            rows[0].lang,
+            rows[0].true_entities,
+        )
+    ]
+    b1 = base.filter(idx >= 40).unionByName(
+        spark.createDataFrame(dups, base.schema)
+    )
+
+    def run(name, buckets):
+        c = IncrementalClusterer(
+            spark,
+            str(tmp_path / name),
+            dedup_threshold=0.8,
+            corpus_buckets=buckets,
+        )
+        c.process_batch(b0, batch_id=0)
+        c.process_batch(b1, batch_id=1)
+        return c
+
+    plain = run("plain", None)
+    bucketed = run("bucketed", 8)
+
+    ids = lambda c: {
+        r.doc_id for r in c.docs.read(spark).select("doc_id").collect()
+    }
+    assert ids(plain) == ids(bucketed)  # 80 survivors, 4 dups gated
+    assert len(ids(plain)) == 80
+    part = lambda c: _partition_of(
+        (r.id, r.cluster_id) for r in c.cluster_members().collect()
+    )
+    assert part(plain) == part(bucketed)
+
+    # appends stay FLAT (no layout until the first compaction folds
+    # the tail into a bucketed base)
+    assert bucketed.docs.bucket_spec() is None
+    bucketed.compact_corpus()
+    assert bucketed.docs.bucket_spec() == ("doc_key", 8)
+    assert bucketed.docs_bands.bucket_spec() == ("band_key", 8)
+
+    # post-compaction batch reads the MIXED layout (bucketed base +
+    # flat tail): a near-dup of a compacted corpus row is still gated,
+    # a fresh page still ingests
+    r1 = rows[1]
+    b2 = spark.createDataFrame(
+        [
+            (
+                "https://late.example.com/en/article/801",
+                r1.warc_ts,
+                r1.html,
+                r1.text + " extraword",
+                r1.lang,
+                r1.true_entities,
+            ),
+            (
+                "https://late.example.com/en/article/802",
+                r1.warc_ts,
+                r1.html,
+                "entirely novel content about deep sea thermal vents "
+                "and the chemosynthetic ecosystems surrounding them",
+                "en",
+                None,
+            ),
+        ],
+        base.schema,
+    )
+    bucketed.process_batch(b2, batch_id=2)
+    after = ids(bucketed)
+    assert len(after) == 81
+    assert "https://late.example.com/en/article/802" in after
+    assert "https://late.example.com/en/article/801" not in after
+
+    some_id = sorted(ids(bucketed))[0]
+    probe = bucketed._touched_buckets(
+        spark.createDataFrame([(some_id,)], "doc_id string"), "doc_id"
+    )
+    assert len(probe) == 1 and 0 <= probe[0] < 8
+    pruned = bucketed.docs.read_buckets(spark, probe)
+    full = bucketed.docs.read(spark)
+    assert set(pruned.inputFiles()) < set(full.inputFiles())
+    # the pruned scan still contains the probed row (pruning never
+    # drops a bucket that can hold the key)
+    assert pruned.filter(F.col("doc_id") == some_id).count() == 1

@@ -51,9 +51,14 @@ def test_featurize_deterministic(spark, media):
 
 
 def test_resize_stub_raises_at_execution(spark, media):
-    # JPEG only: PNG now has a real stdlib kernel (truncated PNGs fail
-    # with their own ValueError, not the PIL/opencv stub message)
-    df = resize_images(media.filter("media_id = 2"), 64, 64)
+    # formats with no stdlib kernel (BMP/PNG/GIF/JPEG all decode for
+    # real now): an unrecognized payload still raises the honest
+    # PIL/opencv message at execution time
+    df = resize_images(media.filter("media_id = 4"), 64, 64)
     assert [f.name for f in df.schema.fields] == ["media_id", "resized", "width", "height"]
     with pytest.raises(Exception, match="PIL|opencv"):
         df.collect()
+    # a truncated JPEG header fails in the REAL codec with its own
+    # malformed-stream error, not the stub message
+    with pytest.raises(Exception, match="JPEG stream ended without a scan"):
+        resize_images(media.filter("media_id = 2"), 64, 64).collect()

@@ -501,3 +501,136 @@ def test_png_out_of_range_palette_index_clamped():
     assert tuple(img[0, 1]) == (0, 255, 0)  # clamped to last entry
     feats = auto_featurize(bad)
     assert len(feats) == 16  # decodes via the real image path, no crash
+
+
+# --- baseline JPEG (operators/jpeg.py, round 5) -------------------------------
+
+
+def _mjpeg_avi(n_frames=6, w=8, h=8, fps=3):
+    """RIFF/AVI whose video chunks are MJPEG '00dc' frames (each a
+    standalone baseline JPEG)."""
+    from name_match_latest_spark.operators.jpeg import encode_jpeg
+
+    frames = []
+    for i in range(n_frames):
+        img = np.full((h, w, 3), (i * 30) % 256, dtype=np.uint8)
+        frames.append(encode_jpeg(img))
+
+    def chunk(fourcc, payload):
+        out = fourcc + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) % 2 else b"")
+
+    avih = chunk(b"avih", struct.pack("<I", int(1e6 / fps)) + b"\x00" * 52)
+    strf_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    strf = chunk(b"strf", strf_hdr)
+    hdrl = chunk(b"LIST", b"hdrl" + avih + strf)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+class TestJpegCodec:
+    @pytest.mark.parametrize(
+        "shape,kw",
+        [
+            ((8, 8), {}),
+            ((17, 13), {}),  # non-multiple-of-8 edges
+            ((24, 24), {"restart_interval": 2}),
+            ((1, 1), {}),
+            ((9, 1), {}),
+        ],
+    )
+    def test_roundtrip_444(self, shape, kw):
+        from name_match_latest_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(shape[0] * 100 + shape[1])
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quant=1, **kw))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        # quant=1 4:4:4 loses only DCT rounding
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+    def test_roundtrip_420_chroma_flat(self):
+        """4:2:0 exercises the decoder's sampling-factor upsample; on
+        chroma-constant input the subsampling itself loses nothing."""
+        from name_match_latest_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(5)
+        g = rng.integers(0, 256, (21, 19), dtype=np.uint8)
+        img = np.stack([g, g, g], axis=-1)
+        dec = decode_jpeg(encode_jpeg(img, subsample=True, quant=1))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+    def test_quantization_is_lossy_but_bounded(self):
+        from name_match_latest_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.repeat(
+            np.repeat(np.arange(64, dtype=np.uint8).reshape(8, 8) * 4, 4, 0),
+            4,
+            1,
+        )
+        img = np.stack([img, img, img], axis=-1)
+        q1 = encode_jpeg(img, quant=1)
+        q16 = encode_jpeg(img, quant=16)
+        assert len(q16) < len(q1)  # coarser quant compresses harder
+        dec = decode_jpeg(q16)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 40
+
+    def test_progressive_raises_honestly(self):
+        from name_match_latest_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(bytes(enc))
+
+    def test_resize_jpeg_distributed(self, spark):
+        from name_match_latest_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from name_match_latest_spark.operators.multimodal import resize_images
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        df = spark.createDataFrame([(1, encode_jpeg(img))], MEDIA_SCHEMA)
+        row = resize_images(df, 8, 6).collect()[0]
+        out = bytes(row.resized)
+        assert out[:3] == b"\xff\xd8\xff"  # re-encoded in its own format
+        assert decode_jpeg(out).shape == (6, 8, 3)
+
+    def test_auto_featurize_jpeg_is_image_path(self):
+        from name_match_latest_spark.operators.jpeg import encode_jpeg
+
+        img = np.full((16, 16, 3), 200, dtype=np.uint8)
+        feats = auto_featurize(encode_jpeg(img))
+        assert feats[0] == 1.0  # image-stats path, not md5 fallback
+        assert abs(feats[3] - 200 / 255.0) < 0.02  # channel mean
+
+
+def test_mjpeg_avi_frames_sampled(spark):
+    from name_match_latest_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame([(1, _mjpeg_avi(n_frames=6, fps=3))], MEDIA_SCHEMA)
+    rows = sample_video_frames(df, every_n_seconds=1.0).collect()
+    frames = rows[0].frames
+    assert len(frames) == 2  # 6 frames at 3 fps, 1/s -> every 3rd
+    img0 = decode_bmp(bytes(frames[0]))  # uniform BMP re-wrap
+    assert img0.shape == (8, 8, 3)
+    assert abs(int(img0[0, 0, 0]) - 0) <= 3  # frame 0 fill 0
+    img1 = decode_bmp(bytes(frames[1]))
+    assert abs(int(img1[0, 0, 0]) - 90) <= 3  # frame 3 fill 90
