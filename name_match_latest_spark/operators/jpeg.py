@@ -1,21 +1,33 @@
-"""Baseline JFIF (JPEG) codec in stdlib + numpy — no PIL/ffmpeg.
+"""Huffman-coded DCT JFIF (JPEG) codec in stdlib + numpy — no
+PIL/ffmpeg.
 
-Scope (the honest-raise list's last image entry, closed round 5):
+Scope (the honest-raise list's last image entries, closed round 5):
 
-* ``decode_jpeg``: baseline sequential DCT JPEG (SOF0) — arbitrary
-  valid Huffman tables, 8/16-bit quant tables, grayscale or 3-channel
-  YCbCr with any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...,
-  nearest-neighbor chroma upsample), restart markers, byte stuffing.
-  Progressive (SOF2) and arithmetic-coded (SOF9+) streams raise
-  ``NotImplementedError`` honestly; malformed streams raise
-  ``ValueError``.
-* ``encode_jpeg``: baseline encoder used by tests and re-encode paths
-  (resize round-trip, MJPEG frame wrapping): 4:4:4 by default or
+* ``decode_jpeg``: sequential baseline (SOF0/SOF1) AND progressive
+  (SOF2) DCT JPEG — arbitrary valid Huffman tables, 8/16-bit quant
+  tables, grayscale or 3-channel YCbCr with any sampling factors
+  (4:4:4 / 4:2:2 / 4:2:0 ..., nearest-neighbor chroma upsample),
+  restart markers, byte stuffing.  Progressive streams decode every
+  scan kind of T.81 Annex G: DC/AC spectral selection, successive
+  approximation first + refinement scans, EOB runs, interleaved DC
+  and single-component AC scans.  Scans accumulate into a per-
+  component zigzag coefficient store; dequant + a vectorized
+  orthonormal IDCT run once at EOI.  Arithmetic-coded, lossless and
+  hierarchical frames (SOF3/5/6/7/9+) raise ``NotImplementedError``
+  honestly; malformed streams raise ``ValueError``.
+* ``encode_jpeg``: encoder used by tests and re-encode paths (resize
+  round-trip, MJPEG frame wrapping): 4:4:4 by default or
   2x2-subsampled chroma, configurable flat quantization (``quant=1``
   is near-lossless — the only loss is DCT rounding), optional restart
-  interval.  Huffman tables are built per image as canonical
-  flat-length codes (spec-valid DHT, decodable by any baseline
-  decoder) rather than hardcoding the Annex K tables.
+  interval, and ``progressive=True`` for an SOF2 14-scan script
+  (spectral selection x one level of successive approximation with
+  refinement scans) whose coefficients — and therefore decoded
+  pixels — are IDENTICAL to the baseline encoding, which is what
+  makes the progressive pipeline mechanically self-verifiable
+  without a reference codec.  Huffman tables are built per image
+  (per scan when progressive) as canonical flat-length codes
+  (spec-valid DHT, decodable by any conforming decoder) rather than
+  hardcoding the Annex K tables.
 
 The IDCT/DCT are exact orthonormal matrix transforms in float64; the
 spec does not mandate a bit-exact IDCT, so tests assert tight
@@ -134,7 +146,8 @@ def _split_scan(buf: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """Sequential or progressive DCT JPEG -> (h, w, 3) uint8 RGB
+    (grayscale replicated)."""
     try:
         return _decode_jpeg(payload)
     except (IndexError, struct.error) as e:
@@ -147,6 +160,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+    progressive = False
+    coeffs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag ints
+    scans = 0
     restart = 0
     pos = 2
     n = len(payload)
@@ -180,92 +196,238 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 values = body[off + 17 : off + 17 + nv]
                 huff[(tc, th)] = _canonical_table(bits, values)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG SOF markers")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
+            if h == 0 or w == 0:
+                raise ValueError("empty JPEG frame")
             comps = []
             for i in range(nc):
                 cid, hv, tq_ = struct.unpack_from(">BBB", body, 1 + 5 + i * 3)
                 comps.append((cid, hv >> 4, hv & 15, tq_))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax == 0 or vmax == 0 or any(c[1] == 0 or c[2] == 0 for c in comps):
+                raise ValueError("zero JPEG sampling factor")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coeffs = {
+                cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                for cid, hi, vi, _ in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) decodes here — "
-                "progressive/arithmetic streams need an external codec"
+                "only Huffman-coded DCT JPEG (SOF0/SOF1/SOF2) decodes here — "
+                "arithmetic-coded/lossless/hierarchical streams need an "
+                "external codec"
             )
         elif marker == 0xDD:  # DRI
             restart = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            ns = body[0]
-            scan_tables = {}
-            for i in range(ns):
-                cs, tbl = body[1 + i * 2], body[2 + i * 2]
-                scan_tables[cs] = (tbl >> 4, tbl & 15)
             segments, pos = _split_scan(payload, pos)
-            return _decode_scan(frame, qt, huff, scan_tables, segments, restart)
-    raise ValueError("JPEG stream ended without a scan")
+            _decode_scan_into(
+                coeffs, frame, huff, body, segments, restart, progressive
+            )
+            scans += 1
+    if frame is None or scans == 0:
+        raise ValueError("JPEG stream ended without a scan")
+    return _reconstruct(frame, qt, coeffs)
 
 
-def _decode_scan(frame, qt, huff, scan_tables, segments, restart) -> np.ndarray:
+def _decode_scan_into(
+    coeffs, frame, huff, body, segments, restart, progressive
+) -> None:
+    """Decode ONE entropy-coded scan into the per-component zigzag
+    coefficient store.  Handles sequential full-band scans (ss..se =
+    0..63, interleaved or single-component) and all four progressive
+    scan kinds: DC first / DC refinement (Ss=0) and AC first / AC
+    refinement (Ss>=1, always single-component per T.81)."""
     h, w, comps = frame
-    if h == 0 or w == 0:
-        raise ValueError("empty JPEG frame")
+    ns = body[0]
+    scan_tables = {}  # cid -> (td, ta), in scan order
+    for i in range(ns):
+        cs, tbl = body[1 + i * 2], body[2 + i * 2]
+        scan_tables[cs] = (tbl >> 4, tbl & 15)
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    if se > 63 or ss > se:
+        raise ValueError("invalid JPEG spectral band")
+    if progressive and ss > 0 and ns != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    byid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-        for cid, hi, vi, _ in comps
-    }
-    preds = {cid: 0 for cid, *_ in comps}
+
+    # unit sequence: (cid, by, bx) block coordinates in coding order
+    if ns == 1:
+        # single-component scans are non-interleaved: the block grid
+        # is the COMPONENT's own ceil(dims/8), not the MCU-padded grid
+        cid = next(iter(scan_tables))
+        if cid not in byid:
+            raise ValueError("JPEG scan references unknown component")
+        hi, vi = byid[cid]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        cbw = -(-cw // 8)
+        cbh = -(-ch // 8)
+        units = [(cid, by, bx) for by in range(cbh) for bx in range(cbw)]
+        per_mcu = 1
+    else:
+        order = []
+        for cid in scan_tables:
+            if cid not in byid:
+                raise ValueError("JPEG scan references unknown component")
+            hi, vi = byid[cid]
+            order.append((cid, hi, vi))
+        units = []
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for cid, hi, vi in order:
+                for by in range(vi):
+                    for bx in range(hi):
+                        units.append((cid, my * vi + by, mx * hi + bx))
+        per_mcu = sum(hi * vi for _, hi, vi in order)
+
+    tables = {}  # cid -> (dc_tbl | None, ac_tbl | None)
+    need_dc = ss == 0 and ah == 0
+    need_ac = se > 0 and not (ss == 0 and ah > 0)
+    for cid, (td, ta) in scan_tables.items():
+        dc_tbl = huff.get((0, td)) if need_dc else None
+        ac_tbl = huff.get((1, ta)) if need_ac else None
+        if (need_dc and dc_tbl is None) or (need_ac and ac_tbl is None):
+            raise ValueError("JPEG references undefined Huffman table")
+        tables[cid] = (dc_tbl, ac_tbl)
+
+    p1 = 1 << al
     seg_iter = iter(segments)
     reader = _BitReader(next(seg_iter))
-    for mcu in range(mcux * mcuy):
-        if restart and mcu and mcu % restart == 0:
+    preds = {cid: 0 for cid in scan_tables}
+    eobrun = 0
+    for ui, (cid, by, bx) in enumerate(units):
+        if restart and ui and ui % (restart * per_mcu) == 0:
             reader = _BitReader(next(seg_iter, b""))
-            preds = {cid: 0 for cid in preds}
-        my, mx = divmod(mcu, mcux)
-        for cid, hi, vi, tq in comps:
-            if tq not in qt:
-                raise ValueError("JPEG references undefined quant table")
-            td, ta = scan_tables[cid]
-            dc_tbl, ac_tbl = huff.get((0, td)), huff.get((1, ta))
-            if dc_tbl is None or ac_tbl is None:
-                raise ValueError("JPEG references undefined Huffman table")
-            for by in range(vi):
-                for bx in range(hi):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = reader.huff(dc_tbl)
-                    preds[cid] += _extend(reader.read(s), s)
-                    zz[0] = preds[cid]
-                    k = 0
-                    while k < 63:
-                        rs = reader.huff(ac_tbl)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += r + 1
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        zz[k] = _extend(reader.read(s), s)
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_ZZ] = zz * qt[tq]
-                    spatial = (
-                        _DCT_T.T @ block.reshape(8, 8) @ _DCT_T
-                    ) + 128.0
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            preds = {c: 0 for c in preds}
+            eobrun = 0
+        coef = coeffs[cid][by, bx]
+        dc_tbl, ac_tbl = tables[cid]
+        if progressive and ah > 0:
+            if ss == 0:  # DC refinement: one raw bit per block
+                if reader.read(1):
+                    coef[0] |= p1
+            else:
+                eobrun = _ac_refine_block(
+                    reader, ac_tbl, coef, ss, se, p1, eobrun
+                )
+            continue
+        # first scans (and the sequential full band)
+        if eobrun:
+            eobrun -= 1
+            continue
+        if ss == 0:
+            s = reader.huff(dc_tbl)
+            preds[cid] += _extend(reader.read(s), s)
+            coef[0] = preds[cid] << al
+        k = max(ss, 1)
+        while k <= se:
+            rs = reader.huff(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) + reader.read(r) - 1  # EOBn run
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            coef[k] = _extend(reader.read(s), s) << al
+            k += 1
+
+
+def _ac_refine_block(reader, ac_tbl, coef, ss, se, p1, eobrun) -> int:
+    """AC successive-approximation refinement for one block band
+    (T.81 G.2; correction bit per already-nonzero coefficient, new
+    coefficients appear with magnitude 1<<Al)."""
+    m1 = -p1
+
+    def corr(k):
+        bit = reader.read(1)
+        if bit and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] > 0 else m1
+
+    if eobrun:
+        for k in range(ss, se + 1):
+            if coef[k]:
+                corr(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        val = 0
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) + reader.read(r)
+                break
+            # ZRL: skip 16 zero-history coefficients
+        elif s == 1:
+            val = p1 if reader.read(1) else m1
+        else:
+            raise ValueError("invalid JPEG refinement magnitude")
+        while k <= se:  # advance past r zero-history coefficients,
+            if coef[k]:  # refining nonzero ones along the way
+                corr(k)
+                k += 1
+            else:
+                if r == 0:
+                    break
+                r -= 1
+                k += 1
+        if k <= se:
+            if val:
+                coef[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:  # current block's tail joins the EOB run
+            if coef[k]:
+                corr(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, qt, coeffs) -> np.ndarray:
+    """Dequantize + IDCT every block (vectorized over the whole
+    plane), then upsample/crop/color-convert."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
-    for cid, hi, vi, _ in comps:
-        p = planes[cid]
+    for cid, hi, vi, tq in comps:
+        if tq not in qt:
+            raise ValueError("JPEG references undefined quant table")
+        c = coeffs[cid]
+        nat = np.zeros(c.shape, dtype=np.float64)
+        nat[..., _ZZ] = c * qt[tq]
+        blocks = nat.reshape(c.shape[0], c.shape[1], 8, 8)
+        spatial = (
+            np.einsum("ab,xybc,cd->xyad", _DCT_T.T, blocks, _DCT_T) + 128.0
+        )
+        p = spatial.transpose(0, 2, 1, 3).reshape(
+            c.shape[0] * 8, c.shape[1] * 8
+        )
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
@@ -403,16 +565,179 @@ def _pad_edge(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
 
 
+def _tok_dc_first(ordered_dc, al):
+    """DC first-scan tokens (interleaved): diffs of the point-
+    transformed (arithmetic >> Al) DC values.  Token kinds: (0,
+    table_id, symbol) for a Huffman symbol, (1, value, nbits) for raw
+    bits.  Returns (tokens, {table_id: symbol set})."""
+    toks, syms = [], {0: set(), 1: set()}
+    preds = [0, 0, 0]
+    for c, v in ordered_dc:
+        tid = 0 if c == 0 else 1
+        sv = v >> al
+        d = sv - preds[c]
+        preds[c] = sv
+        s = _size_of(d)
+        syms[tid].add(s)
+        toks.append((0, tid, s))
+        toks.append((1, _mag_bits(d, s), s))
+    return toks, syms
+
+
+def _tok_ac_first(blocks, ss, se, al):
+    """AC first-scan tokens for ONE component band (non-interleaved,
+    T.81 G.1.2.2-3): EOB-run coding across blocks, values point-
+    transformed toward zero by Al."""
+    toks, syms = [], set()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            syms.add(r << 4)
+            toks.append((0, 0, r << 4))
+            if r:
+                toks.append((1, eobrun - (1 << r), r))
+            eobrun = 0
+
+    for zz in blocks:
+        av = [
+            (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+            for v in zz[ss : se + 1]
+        ]
+        last = -1
+        for i, v in enumerate(av):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last + 1):
+            v = av[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                syms.add(0xF0)
+                toks.append((0, 0, 0xF0))
+                run -= 16
+            s = _size_of(v)
+            sym = (run << 4) | s
+            syms.add(sym)
+            toks.append((0, 0, sym))
+            toks.append((1, _mag_bits(v, s), s))
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return toks, syms
+
+
+def _tok_ac_refine(blocks, ss, se, al):
+    """AC refinement tokens for ONE component band (T.81 G.1.2.3):
+    one correction bit per already-nonzero coefficient (buffered until
+    the symbol that covers its run is emitted), newly-nonzero
+    coefficients coded as run/1 + sign bit, EOB runs over blocks with
+    no new coefficients."""
+    toks, syms = [], set()
+    eobrun = 0
+    pend = []  # buffered correction-bit tokens
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            syms.add(r << 4)
+            toks.append((0, 0, r << 4))
+            if r:
+                toks.append((1, eobrun - (1 << r), r))
+            eobrun = 0
+        toks.extend(pend)
+        pend.clear()
+
+    for zz in blocks:
+        av = [abs(int(v)) >> al for v in zz[ss : se + 1]]
+        last_new = -1
+        for i, v in enumerate(av):
+            if v == 1:
+                last_new = i
+        if last_new < 0:
+            eobrun += 1
+            for v in av:
+                if v > 1:
+                    pend.append((1, v & 1, 1))
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(last_new + 1):
+            v = av[i]
+            if v == 0:
+                run += 1
+            elif v > 1:
+                pend.append((1, v & 1, 1))
+            else:  # newly nonzero at this approximation level
+                while run > 15:
+                    syms.add(0xF0)
+                    toks.append((0, 0, 0xF0))
+                    toks.extend(pend)
+                    pend.clear()
+                    run -= 16
+                sym = (run << 4) | 1
+                syms.add(sym)
+                toks.append((0, 0, sym))
+                toks.append((1, 1 if zz[ss + i] > 0 else 0, 1))
+                toks.extend(pend)
+                pend.clear()
+                run = 0
+        if last_new < se - ss:
+            eobrun += 1
+            for i in range(last_new + 1, se - ss + 1):
+                if av[i] > 1:
+                    pend.append((1, av[i] & 1, 1))
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return toks, syms
+
+
+def _serialize_tokens(toks, enc_tables) -> bytes:
+    writer = _BitWriter()
+    for t in toks:
+        if t[0] == 0:
+            code, ln = enc_tables[t[1]][t[2]]
+            writer.write(code, ln)
+        else:
+            writer.write(t[1], t[2])
+    writer.flush()
+    return bytes(writer.out)
+
+
 def encode_jpeg(
     img: np.ndarray,
     quant: int = 1,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.  ``quant=1`` is
+    """(h, w, 3) uint8 RGB -> JFIF bytes.  ``quant=1`` is
     near-lossless (DCT rounding only); larger values scale a flat
     quant table.  ``subsample=True`` encodes 4:2:0 (2x2-averaged
-    chroma)."""
+    chroma).  ``progressive=True`` emits an SOF2 stream with a
+    14-scan script exercising every progressive coding mode (DC+AC
+    spectral selection across two bands, one level of successive
+    approximation with refinement scans) — coefficients are identical
+    to the baseline encoding at the same settings, so decoded pixels
+    match the baseline stream exactly.  ``restart_interval`` applies
+    to the baseline path only."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8")
     h, w = img.shape[:2]
@@ -441,6 +766,9 @@ def encode_jpeg(
     yb = _fdct_blocks(_pad_edge(y, mcuy * sv * 8, mcux * sh * 8), q)
     cbb = _fdct_blocks(_pad_edge(cbp, mcuy * 8, mcux * 8), q)
     crb = _fdct_blocks(_pad_edge(crp, mcuy * 8, mcux * 8), q)
+
+    if progressive:
+        return _encode_progressive(h, w, q, sh, sv, mcux, mcuy, yb, cbb, crb)
 
     # interleave blocks in MCU order and difference the DCs in that
     # order (per component, reset at restart boundaries)
@@ -511,5 +839,103 @@ def encode_jpeg(
             _encode_blocks(writer, [zz], d, a)
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive(h, w, q, sh, sv, mcux, mcuy, yb, cbb, crb) -> bytes:
+    """SOF2 stream from the already-quantized block arrays: DC first
+    scan (interleaved, Al=1), per-component AC first scans over two
+    spectral bands (1-5, 6-63) at Al=1, then DC + AC refinement scans
+    down to Al=0.  Per-scan canonical flat-length DHTs (legal: a DHT
+    may precede any scan and redefines its table id)."""
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + bytes(
+        int(v) for v in q
+    )
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * 3, 8, h, w, 3
+    ) + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0])
+
+    ybw = mcux * sh
+    ordered_dc = []
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for by in range(sv):
+            for bx in range(sh):
+                ordered_dc.append(
+                    (0, int(yb[(my * sv + by) * ybw + mx * sh + bx][0]))
+                )
+        ordered_dc.append((1, int(cbb[my * mcux + mx][0])))
+        ordered_dc.append((2, int(crb[my * mcux + mx][0])))
+
+    # non-interleaved AC block lists cover the COMPONENT grid
+    # (ceil(comp_dims/8)), not the MCU-padded grid — uncovered edge
+    # blocks hold only padding pixels
+    def grid(blocks, grid_w, cbw, cbh):
+        return [
+            blocks[by * grid_w + bx]
+            for by in range(cbh)
+            for bx in range(cbw)
+        ]
+
+    luma = grid(yb, ybw, -(-w // 8), -(-h // 8))
+    cw_c, ch_c = -(-w // sh), -(-h // sv)
+    cbn = grid(cbb, mcux, -(-cw_c // 8), -(-ch_c // 8))
+    crn = grid(crb, mcux, -(-cw_c // 8), -(-ch_c // 8))
+
+    def dht(tc, th, bits, vals):
+        return (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 17 + len(vals))
+            + bytes([(tc << 4) | th])
+            + bytes(bits)
+            + vals
+        )
+
+    def sos(comps_spec, ss, se, ah, al):
+        b = bytearray(b"\xff\xda")
+        b += struct.pack(">HB", 6 + 2 * len(comps_spec), len(comps_spec))
+        for cid, tdta in comps_spec:
+            b += bytes([cid, tdta])
+        b += bytes([ss, se, (ah << 4) | al])
+        return bytes(b)
+
+    AL = 1
+    bands = ((1, 5), (6, 63))
+    comps_ac = [(1, 0, luma), (2, 1, cbn), (3, 1, crn)]
+
+    toks, syms = _tok_dc_first(ordered_dc, AL)
+    b0, v0, e0 = _flat_huff(syms[0])
+    b1, v1, e1 = _flat_huff(syms[1])
+    out += dht(0, 0, b0, v0) + dht(0, 1, b1, v1)
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, AL)
+    out += _serialize_tokens(toks, {0: e0, 1: e1})
+
+    for cid, ta, blocks in comps_ac:
+        for ss_, se_ in bands:
+            toks, syms = _tok_ac_first(blocks, ss_, se_, AL)
+            bb, vv, ee = _flat_huff(syms)
+            out += dht(1, ta, bb, vv)
+            out += sos([(cid, ta)], ss_, se_, 0, AL)
+            out += _serialize_tokens(toks, {0: ee})
+
+    # DC refinement: one raw bit per block, no Huffman coding
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, AL, 0)
+    out += _serialize_tokens([(1, v & 1, 1) for _, v in ordered_dc], {})
+
+    for cid, ta, blocks in comps_ac:
+        for ss_, se_ in bands:
+            toks, syms = _tok_ac_refine(blocks, ss_, se_, 0)
+            bb, vv, ee = _flat_huff(syms)
+            out += dht(1, ta, bb, vv)
+            out += sos([(cid, ta)], ss_, se_, 1, 0)
+            out += _serialize_tokens(toks, {0: ee})
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -14,10 +14,11 @@ pure stdlib ``struct``/``zlib`` + numpy, i.e. REAL decodes, not stubs):
   interlaced frames): decode, nearest-neighbor resize, re-encode
   (GIF re-encodes via an adaptive median-cut-free palette only when
   the resized frame has <=256 colors — true for nearest-neighbor
-  output of a GIF input — else falls back to PNG) AND baseline
-  sequential JPEG (operators/jpeg.py: arbitrary Huffman tables,
-  chroma subsampling, restart markers; progressive/arithmetic
-  streams still raise honestly).
+  output of a GIF input — else falls back to PNG) AND Huffman-coded
+  DCT JPEG, both baseline sequential and progressive SOF2
+  (operators/jpeg.py: arbitrary Huffman tables, chroma subsampling,
+  restart markers, spectral selection + successive approximation;
+  arithmetic-coded streams still raise honestly).
 * audio  — RIFF/WAVE PCM16: real sample decode -> duration/RMS/ZCR/
   peak features.
 * video  — RIFF/AVI with uncompressed '00db' DIB frames or MJPEG

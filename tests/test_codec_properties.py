@@ -98,6 +98,27 @@ def test_jpeg_decode_total_on_garbage(payload):
             pass
 
 
+@settings(max_examples=20, deadline=None)
+@given(dims, st.integers(0, 2**32 - 1), st.booleans())
+def test_jpeg_progressive_equals_baseline_any_size(wh, seed, sub):
+    """The SOF2 scan script carries the same quantized coefficients
+    as the baseline stream at ANY size (ragged MCUs, 1-pixel dims,
+    4:2:0), so decoded pixels are bit-identical."""
+    from name_match_latest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = wh
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quant=1, subsample=sub))
+    prog = decode_jpeg(
+        encode_jpeg(img, quant=1, subsample=sub, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
 def test_jpeg_zigzag_matches_spec_table():
     """The generated zigzag order must equal the PUBLISHED JPEG scan
     order (ITU-T T.81 Figure A.6) — a roundtrip test alone cannot

@@ -584,7 +584,30 @@ class TestJpegCodec:
         dec = decode_jpeg(q16)
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 40
 
-    def test_progressive_raises_honestly(self):
+    def test_progressive_decodes_pixel_identical_to_baseline(self):
+        """The SOF2 14-scan script encodes the SAME quantized
+        coefficients as the baseline stream, so decoded pixels must
+        be bit-identical — the mechanical self-check that makes the
+        progressive pipeline verifiable without a reference codec."""
+        from name_match_latest_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(23)
+        for shape, sub, quant in (
+            ((24, 40), False, 1),
+            ((17, 9), True, 1),
+            ((33, 31), True, 8),
+        ):
+            img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+            prog = encode_jpeg(img, quant=quant, subsample=sub, progressive=True)
+            base = encode_jpeg(img, quant=quant, subsample=sub)
+            assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+            assert prog.count(b"\xff\xda") == 14  # the full scan script
+            assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+
+    def test_arithmetic_coded_raises_honestly(self):
         from name_match_latest_spark.operators.jpeg import (
             decode_jpeg,
             encode_jpeg,
@@ -592,8 +615,8 @@ class TestJpegCodec:
 
         enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
         i = enc.find(b"\xff\xc0")
-        enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(NotImplementedError, match="baseline"):
+        enc[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+        with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(bytes(enc))
 
     def test_resize_jpeg_distributed(self, spark):
