@@ -1885,3 +1885,85 @@ def _web_cluster_pages(spark, sf_dir):
 
     pages = generate_webpages(spark, 2000, seed=42, partitions=8)
     return cluster_pages(pages).orderBy("id")
+
+
+# --- round 5: run-summary + guard observability as oracle queries -----------
+
+
+def _cascade_summary_oracle() -> str | None:
+    """Per-level run summary over the SAME exclusive chain as
+    cascade_run_exclusive (cascade.rs:888-903 prints these counts per
+    level) — DuckDB allows a WITH chain inside a FROM subquery, so the
+    full exclusive oracle nests unchanged under a GROUP BY."""
+    base = _cascade_exclusive_oracle()
+    if base is None:
+        return None
+    return f"""
+SELECT level, count(*) AS n_matches,
+       count(DISTINCT t1_id) AS n_t1, count(DISTINCT t2_id) AS n_t2
+FROM ({base}) t GROUP BY level
+"""
+
+
+@q("cascade_summary", _cascade_summary_oracle())
+def _cascade_summary(spark, sf_dir):
+    """Per-level match counts + distinct matched ids of the exclusive
+    L1/L2/L3/L10/L11 run — the reference's per-level progress summary
+    (cascade.rs:888-903, xlsx Summary sheet per-level rows).  The
+    aggregation reuses the run's per-level frames (already cached by
+    run_cascade for the exclusion anti-joins), so the summary costs one
+    extra partial-agg pass, no re-execution of any level."""
+    from .operators.cascade import CascadeConfig, run_cascade
+
+    t1, t2 = load_persons(spark, sf_dir)
+    results = run_cascade(
+        t1, t2, CascadeConfig(levels=[1, 2, 3, 10, 11], threshold=0.8)
+    )
+    out = None
+    for lr in results:
+        lvl = lr.matches.select(
+            "t1_id", "t2_id", F.lit(lr.level).alias("level")
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.groupBy("level").agg(
+        F.count("*").alias("n_matches"),
+        F.countDistinct("t1_id").alias("n_t1"),
+        F.countDistinct("t2_id").alias("n_t2"),
+    )
+
+
+@q(
+    "block_guard_stats",
+    f"""{_PERSONS_CTE},
+na AS ({_A3_KEYS_A}),
+hist AS (SELECT yr, fi, li, sx, count(*) AS n FROM na GROUP BY yr, fi, li, sx)
+SELECT concat_ws(chr(31), yr::VARCHAR, fi, li, sx) AS block_key,
+       n AS n_rows
+FROM hist WHERE n <= 3
+""",
+)
+def _block_guard_stats(spark, sf_dir):
+    """Surviving-block histogram after the
+    NAME_MATCHER_MAX_FUZZY_BIRTHDATE_BLOCK size guard
+    (advanced_matcher.rs:193-216): rows in algo-3 blocks larger than
+    the cap are dropped by a broadcast anti-semi-join, then the
+    histogram is the per-block candidate estimator the reference logs
+    (mod.rs:1863-1902).  Exercises block_size_guard + block_histogram
+    on the real prepared-person columns; limit=3 is small enough to
+    bite at sf0.01 (blocks reach size 6)."""
+    from .operators.blocking import (
+        algo3_block_key,
+        block_histogram,
+        block_size_guard,
+    )
+
+    t1, _ = load_persons(spark, sf_dir)
+    t1 = t1.filter(
+        F.col("first_name").isNotNull()
+        & F.col("last_name").isNotNull()
+        & F.col("birthdate").isNotNull()
+    )
+    guarded = block_size_guard(t1, algo3_block_key(), limit=3)
+    return block_histogram(guarded, algo3_block_key()).select(
+        F.col("block_key"), F.col("count").alias("n_rows")
+    )
