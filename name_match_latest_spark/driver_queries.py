@@ -1967,3 +1967,79 @@ def _block_guard_stats(spark, sf_dir):
     return block_histogram(guarded, algo3_block_key()).select(
         F.col("block_key"), F.col("count").alias("n_rows")
     )
+
+
+@q(
+    "events_sessionize",
+    """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS us, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sid AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       floor(sum(value) * 1000000) / 1000000 AS sum_value
+FROM sid GROUP BY user_id, session_seq
+""",
+)
+def _events_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event log (30-min inactivity
+    boundary) -> per-session rollups.  One exchange end-to-end: the
+    window partitions on user_id and the rollup groups on
+    (user_id, session_seq) ⊇ the exchange key (operators/events.py).
+    Gap math is exact integer microseconds on both engines."""
+    from .operators.events import session_stats
+
+    register_views(spark, sf_dir)
+    return session_stats(spark.table("events"))
+
+
+def _web_domain_oracle() -> str | None:
+    """Per-domain crawl rollup replayed from the committed mention
+    fixture — the web_cluster_pages contract: the SPARK side runs the
+    REAL extraction, so a hash match certifies extraction + the
+    rollup, not just the rollup."""
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures")
+    mpath = os.path.abspath(os.path.join(fx, "web_mentions.parquet"))
+    if not os.path.exists(mpath):
+        return None
+    return f"""
+SELECT domain, lang,
+       count(*) AS n_mentions,
+       count(DISTINCT url) AS n_pages,
+       count(DISTINCT first_name || ' ' || last_name) AS n_names
+FROM read_parquet('{mpath}')
+GROUP BY domain, lang
+"""
+
+
+@q("web_domain_stats", _web_domain_oracle())
+def _web_domain_stats(spark, sf_dir):
+    """Per-(domain, lang) mention/page/name counts over the canonical
+    2000-page seed-42 crawl — the corpus-profiling pass a crawl
+    pipeline runs before blocking (domain x lang are two of the three
+    composite block-key fields, so these counts are the block-size
+    estimator at the partition-planning stage).  Runs the real
+    extraction; the oracle replays from fixtures/web_mentions.parquet."""
+    from .plans.web_pipeline import prepare_mentions
+    from .sources.web import generate_webpages
+
+    pages = generate_webpages(spark, 2000, seed=42, partitions=8)
+    m = prepare_mentions(pages)
+    return m.groupBy("domain", "lang").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("url").alias("n_pages"),
+        F.countDistinct(
+            F.concat_ws(" ", "first_name", "last_name")
+        ).alias("n_names"),
+    )

@@ -1,0 +1,92 @@
+"""Event-log operators: gap-based sessionization.
+
+The reference has no event-log surface (its events are match-run audit
+rows); this operator family belongs to the large-scale training-data
+side of the engine — turning raw interaction/crawl logs into
+per-session training examples is the standard first step of behavioral
+pipelines, exactly like `events_hourly` is for rollups.
+
+Scale design (100 TB): `sessionize` costs ONE hash exchange on the
+user column.  The session-numbering window sorts within partitions,
+and the per-session aggregation groups on (user, session_seq) — a
+superset of the partition key — so Catalyst reuses the same exchange
+for both (no second shuffle; verify with .explain: a single Exchange
+feeding Window then HashAggregate).  Per-user state is bounded by that
+user's event count, never by corpus size; a pathological power user is
+still one partition's sort, and AQE skew-split cannot break window
+semantics because the window key equals the exchange key.
+
+Gap arithmetic is exact integer microseconds (timestamp_diff), never
+float seconds, so the DuckDB oracle (epoch_us) is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Assign a per-user ordinal ``session_seq`` (1-based): a new
+    session starts at the first event and whenever the gap since the
+    previous event exceeds ``gap_sec``.
+
+    ``order_col`` breaks timestamp ties deterministically; ties never
+    change session membership (gap 0), only the stable sort order.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # timestamp_diff is NTZ-and-LTZ-safe wall-clock microseconds — no
+    # session-timezone dependence, unlike unix_micros (which rejects
+    # TIMESTAMP_NTZ parquet columns outright)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+    brk: Column = (
+        F.when(prev.isNull() | (gap_us > gap_sec * 1_000_000), 1)
+        .otherwise(0)
+    )
+    return (
+        events.withColumn("_brk", brk)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("_brk")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_sec: int = 1800,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-session rollup: bounds, event count, summed value.  Same
+    single exchange as `sessionize` (group key ⊇ partition key)."""
+    agg = [
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col is not None:
+        agg.append(
+            (F.floor(F.sum(value_col) * 1e6) / 1e6).alias("sum_value")
+        )
+    return (
+        sessionize(events, user_col, ts_col, order_col, gap_sec)
+        .groupBy(user_col, "session_seq")
+        .agg(*agg)
+    )

@@ -1,0 +1,76 @@
+"""Gap-based sessionization: semantics on a hand-computed log, and
+the one-exchange plan contract (operators/events.py — window key ==
+exchange key, rollup key ⊇ exchange key)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+def _log(spark):
+    rows = [
+        # user 1: two sessions split by a 31-min gap
+        (0, _ts(0), 1, "a", 1.0),
+        (1, _ts(10), 1, "b", 2.0),
+        (2, _ts(41, 0, 1), 1, "c", 4.0),  # 31min1µs after prev -> new
+        # user 2: gap of EXACTLY 30min stays in-session (strict >)
+        (3, _ts(0), 2, "a", 1.0),
+        (4, _ts(30), 2, "b", 1.0),
+        # user 3: timestamp tie broken by event_id, same session
+        (5, _ts(5), 3, "a", 1.0),
+        (6, _ts(5), 3, "b", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_hand_computed(spark):
+    from name_match_latest_spark.operators.events import sessionize
+
+    got = {
+        (r.event_id): (r.user_id, r.session_seq)
+        for r in sessionize(_log(spark)).collect()
+    }
+    assert got == {
+        0: (1, 1),
+        1: (1, 1),
+        2: (1, 2),
+        3: (2, 1),
+        4: (2, 1),  # exactly-30min gap does NOT split
+        5: (3, 1),
+        6: (3, 1),
+    }
+
+
+def test_session_stats_rollup(spark):
+    from name_match_latest_spark.operators.events import session_stats
+
+    rows = {
+        (r.user_id, r.session_seq): r
+        for r in session_stats(_log(spark)).collect()
+    }
+    assert len(rows) == 4
+    s11 = rows[(1, 1)]
+    assert s11.n_events == 2 and s11.sum_value == 3.0
+    assert s11.session_start == "2024-01-01 00:00:00.000000"
+    assert s11.session_end == "2024-01-01 00:10:00.000000"
+    s12 = rows[(1, 2)]
+    assert s12.n_events == 1 and s12.session_start.endswith(".000001")
+
+
+def test_single_exchange_plan(spark):
+    """The rollup groups on (user_id, session_seq) ⊇ the window's
+    hash-partitioning on user_id — Catalyst must NOT insert a second
+    exchange between the Window and the final HashAggregate."""
+    from name_match_latest_spark.operators.events import session_stats
+
+    plan = session_stats(_log(spark))._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
