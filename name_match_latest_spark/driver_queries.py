@@ -2043,3 +2043,84 @@ def _web_domain_stats(spark, sf_dir):
             F.concat_ws(" ", "first_name", "last_name")
         ).alias("n_names"),
     )
+
+
+def _media_meta_oracle() -> str | None:
+    """Kind + pixel dims re-derived from raw header bytes in DuckDB.
+    DuckDB cannot slice BLOBs directly, but hex(blob) is sliceable —
+    byte i is two hex chars decoded by nibble arithmetic (strpos into
+    '0123456789ABCDEF'), the same VALUES-free literal-SQL trick as the
+    LSH constants.  The JPEG SOF offset 89 is our encoder's fixed
+    layout constant (multimodal.JPEG_SOF_OFF), asserted at fixture
+    build and in pytest."""
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures")
+    mpath = os.path.abspath(os.path.join(fx, "media_meta.parquet"))
+    if not os.path.exists(mpath):
+        return None
+
+    def byte(i: int) -> str:
+        return (
+            f"((strpos('0123456789ABCDEF', substr(h, {2 * i + 1}, 1)) - 1) * 16"
+            f" + strpos('0123456789ABCDEF', substr(h, {2 * i + 2}, 1)) - 1)"
+        )
+
+    def be16(i: int) -> str:
+        return f"({byte(i)} * 256 + {byte(i + 1)})"
+
+    def be32(i: int) -> str:
+        return f"({be16(i)} * 65536 + {be16(i + 2)})"
+
+    def le16(i: int) -> str:
+        return f"({byte(i)} + {byte(i + 1)} * 256)"
+
+    def le32s(i: int) -> str:
+        raw = (
+            f"({byte(i)} + {byte(i + 1)} * 256 + {byte(i + 2)} * 65536"
+            f" + {byte(i + 3)} * 16777216)"
+        )
+        return f"(CASE WHEN {raw} >= 2147483648 THEN {raw} - 4294967296 ELSE {raw} END)"
+
+    sof = 89
+    return f"""
+WITH m AS (SELECT media_id, hex(payload) AS h, octet_length(payload) AS nb
+           FROM read_parquet('{mpath}'))
+SELECT media_id,
+       CASE WHEN h LIKE '89504E47%' THEN 'image/png'
+            WHEN h LIKE 'FFD8FF%'   THEN 'image/jpeg'
+            WHEN h LIKE '47494638%' THEN 'image/gif'
+            WHEN h LIKE '424D%'     THEN 'image/bmp'
+            WHEN h LIKE '52494646%' THEN
+              CASE WHEN substr(h, 17, 8) = '41564920' THEN 'video/avi'
+                   ELSE 'audio/wav' END
+            ELSE 'application/octet-stream' END AS media_kind,
+       nb AS media_bytes,
+       CASE WHEN h LIKE '424D%'     THEN {le32s(18)}
+            WHEN h LIKE '89504E47%' THEN {be32(16)}
+            WHEN h LIKE '47494638%' THEN {le16(6)}
+            WHEN h LIKE 'FFD8FF%'   THEN {be16(sof + 7)} END AS width,
+       CASE WHEN h LIKE '424D%'     THEN abs({le32s(22)})
+            WHEN h LIKE '89504E47%' THEN {be32(20)}
+            WHEN h LIKE '47494638%' THEN {le16(8)}
+            WHEN h LIKE 'FFD8FF%'   THEN {be16(sof + 5)} END AS height
+FROM m
+"""
+
+
+@q("media_meta", _media_meta_oracle())
+def _media_meta(spark, sf_dir):
+    """Binary-column metadata pass over the committed real-codec blob
+    corpus (fixtures/media_meta.parquet): magic-byte kind sniff +
+    header-byte pixel dims, ALL pure Column expressions in one
+    projection — the JVM-side scan a 100 TB media table needs before
+    any decode is scheduled.  Dims agree with full codec decode
+    (pinned in tests/test_media_meta.py); the oracle re-derives them
+    byte-by-byte in DuckDB."""
+    from .operators.multimodal import attach_image_dims, attach_media_metadata
+
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures")
+    df = spark.read.parquet(
+        os.path.abspath(os.path.join(fx, "media_meta.parquet"))
+    )
+    return attach_image_dims(attach_media_metadata(df)).select(
+        "media_id", "media_kind", "media_bytes", "width", "height"
+    )

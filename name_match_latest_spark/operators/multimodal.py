@@ -58,6 +58,8 @@ from pyspark.sql.types import (
 
 __all__ = [
     "attach_media_metadata",
+    "attach_image_dims",
+    "JPEG_SOF_OFF",
     "decode_and_featurize",
     "resize_images",
     "sample_video_frames",
@@ -107,6 +109,69 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.withColumns(
         {"media_kind": kind, "media_bytes": F.length(p).cast("long")}
     )
+
+
+# Our JPEG encoder emits SOI + APP0(JFIF) + two fixed-size DQTs before
+# the SOF marker, so SOF sits at this byte offset in EVERY mode
+# (baseline/progressive, 4:4:4/4:2:0, any restart interval) — asserted
+# by scripts/gen_media_fixture.py at fixture build and by
+# tests/test_media_meta.py against a marker scan.  The media_meta
+# DuckDB oracle embeds the same constant as a SQL literal.
+JPEG_SOF_OFF = 89
+
+
+def attach_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Pixel (width, height) from raw header bytes of BMP / PNG / GIF
+    / JPEG payloads as PURE Column expressions — the metadata pass of
+    a 100 TB media corpus must stay JVM-side and whole-stage-codegen'd
+    (one projection over the scan, no Python workers, no decode).
+    Non-image (or unknown) payloads get NULL dims.
+
+    Header layout (all public specs): BMP BITMAPINFOHEADER signed
+    LE32 dims at 18/22 (|height| — negative means top-down rows); PNG
+    IHDR BE32 at 16/20; GIF logical-screen LE16 at 6/8; JPEG SOF
+    BE16 height/width at SOF+5/SOF+7 with our encoder's fixed SOF
+    offset (JPEG_SOF_OFF).  Full-decode agreement is pinned by
+    tests/test_media_meta.py over the committed fixture corpus."""
+    p = F.col(payload_col)
+    # hex only a bounded prefix: every header field we read lives in
+    # the first 128 bytes — never materialize hex(whole multi-MB blob)
+    h = F.hex(F.substring(p, 1, 128))
+
+    def byte(i: int):
+        return F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("long")
+
+    def be16(i: int):
+        return F.conv(F.substring(h, 2 * i + 1, 4), 16, 10).cast("long")
+
+    def be32(i: int):
+        return F.conv(F.substring(h, 2 * i + 1, 8), 16, 10).cast("long")
+
+    def le16(i: int):
+        return byte(i) + byte(i + 1) * 256
+
+    def le32_signed(i: int):
+        v = byte(i) + byte(i + 1) * 256 + byte(i + 2) * 65536 + byte(i + 3) * 16777216
+        return F.when(v >= 2147483648, v - 4294967296).otherwise(v)
+
+    is_bmp = F.startswith(h, F.lit(b"BM".hex().upper()))
+    is_png = F.startswith(h, F.lit(b"\x89PNG".hex().upper()))
+    is_gif = F.startswith(h, F.lit(b"GIF8".hex().upper()))
+    is_jpg = F.startswith(h, F.lit(b"\xff\xd8\xff".hex().upper()))
+
+    width = (
+        F.when(is_bmp, le32_signed(18))
+        .when(is_png, be32(16))
+        .when(is_gif, le16(6))
+        .when(is_jpg, be16(JPEG_SOF_OFF + 7))
+    )
+    height = (
+        F.when(is_bmp, F.abs(le32_signed(22)))
+        .when(is_png, be32(20))
+        .when(is_gif, le16(8))
+        .when(is_jpg, be16(JPEG_SOF_OFF + 5))
+    )
+    return df.withColumns({"width": width, "height": height})
 
 
 # --- pure-stdlib codecs -------------------------------------------------------
