@@ -63,6 +63,11 @@ def main() -> None:
         "agg_pricing",
         "window_argmax",
         "events_hourly",
+        "events_sessionize",    # round 5: gap sessionization, 1 exchange
+        "events_asof_join",     # round 5: as-of join vs native DuckDB ASOF
+        "web_domain_stats",     # round 5: crawl profiling over real extraction
+        "media_meta",           # round 5: JVM header-dims metadata scan
+        "block_guard_stats",    # round 5: guard + histogram observability
     ]
 
     # warm the session (python worker fleet, codegen, buffer pools) so

@@ -2124,3 +2124,99 @@ def _media_meta(spark, sf_dir):
     return attach_image_dims(attach_media_metadata(df)).select(
         "media_id", "media_kind", "media_bytes", "width", "height"
     )
+
+
+@q(
+    "match_summary_stats",
+    None if _DM_CTE is None else f"""
+WITH matches AS (
+  SELECT * FROM ({_PERSONS_CTE},
+{_DM_CTE},
+{_A3_FULL_TIERS},
+{_score_cascade_sql('candf', no_middle=False)}) t),
+qs AS (SELECT count(*) AS n_matches,
+              quantile_cont(confidence, [0.5, 0.9, 0.99]) AS q
+       FROM matches)
+SELECT n_matches,
+       floor(q[1] * 1000000) / 1000000 AS conf_p50,
+       floor(q[2] * 1000000) / 1000000 AS conf_p90,
+       floor(q[3] * 1000000) / 1000000 AS conf_p99
+FROM qs
+""",
+)
+def _match_summary_stats(spark, sf_dir):
+    """The run-summary confidence percentiles (xlsx_export.rs:14-60,
+    benchmarking/mod.rs:175-199) as EXACT percentiles over the Algo-3
+    match set — `percentile` (sort + linear interpolation) rather than
+    the sketch-based percentile_approx the streaming sink uses, so the
+    DuckDB quantile_cont twin is float-comparable.  Inputs are the
+    1e-6-floored confidences (hash-identical across engines per the
+    algo3_full gate), making the interpolation arithmetic bit-stable.
+    Exact `percentile` buffers the value set in its final reducer —
+    right-sized here because the input is a match RESULT (report
+    scale), never the corpus; corpus-scale summaries stay on the
+    sketch-based percentile_approx path (sinks.run_summary)."""
+    from .operators.algos import match_fuzzy
+
+    t1, t2 = load_persons(spark, sf_dir)
+    m = match_fuzzy(t1, t2, allow_swap=False).select(
+        (F.floor(F.col("confidence") * 1e6) / 1e6).alias("confidence")
+    )
+    agg = m.agg(
+        F.count("*").alias("n_matches"),
+        F.expr("percentile(confidence, array(0.5d, 0.9d, 0.99d))").alias("q"),
+    )
+    return agg.select(
+        "n_matches",
+        (F.floor(F.col("q")[0] * 1e6) / 1e6).alias("conf_p50"),
+        (F.floor(F.col("q")[1] * 1e6) / 1e6).alias("conf_p90"),
+        (F.floor(F.col("q")[2] * 1e6) / 1e6).alias("conf_p99"),
+    )
+
+
+@q(
+    "events_asof_join",
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, ts AS err_ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(e.err_ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+       e.err_value
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+""",
+)
+def _events_asof_join(spark, sf_dir):
+    """Point-in-time join: every click event gets the user's most
+    recent error event at-or-before it (operators/events.py asof_join
+    — union-tag + running last(ignorenulls) window, ONE exchange, any
+    right size).  The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so
+    the operator's semantics (inclusive bound, left rows without a
+    match kept with NULLs, per-(key,ts)-unique right) are certified
+    against an independent first-class implementation."""
+    from .operators.events import asof_join
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("value").alias("err_value"))
+    )
+    j = asof_join(
+        clicks, errors, on="user_id", left_ts="ts", right_ts="err_ts"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("err_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("err_ts"),
+        "err_value",
+    )

@@ -26,6 +26,70 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-of) join: every left row gains the columns of
+    the LATEST right row with ``right_ts <= left_ts`` for the same
+    ``on`` key (inclusive match, standard ASOF semantics — DuckDB's
+    `ASOF JOIN` with ``l.ts >= r.ts`` is the oracle twin).
+
+    ``right`` must be unique per (on, right_ts) — pre-aggregate it if
+    not, exactly as a SQL ASOF would need for determinism.  All right
+    columns except the key (including ``right_ts``) are carried into
+    the output; rename collisions on the right side before calling.
+
+    Spark has no native as-of join; the usual workarounds are a range
+    crossjoin+argmax (quadratic per key) or a broadcast-sorted probe
+    (right side must fit in memory).  This is the scalable form:
+    union-tag both sides, ONE hash exchange on the key, one in-
+    partition sort by (ts, side), and a running ``last(ignorenulls)``
+    window carries the newest right payload forward onto left rows.
+    Cost is sort-merge-shaped — O(n log n) per partition, any right
+    size, no memory cliff — and AQE cannot mis-plan it because the
+    window key equals the exchange key.  Right rows order BEFORE left
+    rows at equal timestamps (side 0 < 1), which yields the inclusive
+    ``<=`` bound.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("asof_join supports how='left'|'inner'")
+    rcols = [c for c in right.columns if c != on]
+    r2 = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_t"),
+        F.struct(*rcols).alias("_asof_p"),
+        F.lit(0).alias("_asof_side"),
+    )
+    payload_t = r2.schema["_asof_p"].dataType
+    l2 = left.withColumns(
+        {
+            "_asof_t": F.col(left_ts),
+            "_asof_p": F.lit(None).cast(payload_t),
+            "_asof_side": F.lit(1),
+        }
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_asof_t", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_asof_m", F.last("_asof_p", ignorenulls=True).over(w))
+    out = u.filter(F.col("_asof_side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("_asof_m").isNotNull())
+    exp = {c: F.col("_asof_m")[c] for c in rcols}
+    return (
+        out.withColumns(exp)
+        .drop("_asof_t", "_asof_p", "_asof_side", "_asof_m")
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -94,11 +94,15 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     Pure Column expressions — a metadata pass never decodes.
     RIFF containers are disambiguated by their form type (WAVE/AVI)."""
     p = F.col(payload_col)
+    # sniff on a 16-byte prefix: hex(whole blob) would materialize 2x
+    # the payload per row just to read the magic (longest probe is the
+    # RIFF form type at bytes 8-11)
+    head = F.hex(F.substring(p, 1, 16))
     kind = F.lit("application/octet-stream")
     for magic, mime in reversed(_MAGIC):
         hexmagic = magic.hex()
         kind = F.when(
-            F.startswith(F.hex(p), F.lit(hexmagic.upper())), F.lit(mime)
+            F.startswith(head, F.lit(hexmagic.upper())), F.lit(mime)
         ).otherwise(kind)
     riff_form = F.upper(F.hex(F.substring(p, 9, 4)))
     kind = (

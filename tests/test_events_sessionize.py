@@ -74,3 +74,52 @@ def test_single_exchange_plan(spark):
     plan = session_stats(_log(spark))._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(0, 1, 10.0), (1, 1, 25.0), (2, 2, 5.0), (3, 3, 7.0)],
+        "event_id long, k long, t double",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (9, 1.0, "c")],
+        "k long, rt double, v string",
+    )
+    return left, right
+
+
+def test_asof_join_left_semantics(spark):
+    from name_match_latest_spark.operators.events import asof_join
+
+    left, right = _asof_frames(spark)
+    got = {
+        r.event_id: (r.rt, r.v)
+        for r in asof_join(left, right, on="k", left_ts="t", right_ts="rt").collect()
+    }
+    assert got == {
+        0: (10.0, "a"),   # inclusive: rt == t matches
+        1: (20.0, "b"),   # latest at-or-before, not first
+        2: (None, None),  # key exists nowhere on the right
+        3: (None, None),  # key 3 has no right rows
+    }
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    from name_match_latest_spark.operators.events import asof_join
+
+    left, right = _asof_frames(spark)
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", how="inner"
+    )
+    assert sorted(r.event_id for r in out.collect()) == [0, 1]
+
+
+def test_asof_join_single_exchange(spark):
+    from name_match_latest_spark.operators.events import asof_join
+
+    left, right = _asof_frames(spark)
+    plan = (
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
