@@ -65,6 +65,7 @@ def main() -> None:
         "events_hourly",
         "events_sessionize",    # round 5: gap sessionization, 1 exchange
         "events_asof_join",     # round 5: as-of join vs native DuckDB ASOF
+        "events_range_join",    # round 5: bucketed interval join, no BNLJ
         "web_domain_stats",     # round 5: crawl profiling over real extraction
         "media_meta",           # round 5: JVM header-dims metadata scan
         "block_guard_stats",    # round 5: guard + histogram observability

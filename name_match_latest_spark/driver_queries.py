@@ -2220,3 +2220,56 @@ def _events_asof_join(spark, sf_dir):
         F.date_format("err_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("err_ts"),
         "err_value",
     )
+
+
+@q(
+    "events_range_join",
+    """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'),
+errs AS (
+  SELECT event_id AS err_id, user_id, epoch_us(ts) AS t0
+  FROM events WHERE event_type = 'error')
+SELECT c.click_id, e.err_id, c.user_id, c.t - e.t0 AS gap_us
+FROM clicks c JOIN errs e
+  ON c.user_id = e.user_id AND c.t >= e.t0 AND c.t <= e.t0 + 21600000000
+""",
+)
+def _events_range_join(spark, sf_dir):
+    """Interval (range) join: every click inside the 6-hour window
+    after an error of the same user — ALL qualifying pairs, unlike the
+    as-of join's latest-only.  operators/events.py range_join buckets
+    the time axis at the window width, so each click joins its bucket
+    equi-wise (exactly one bucket per point -> no dedup) against
+    windows exploded to <=2 buckets, then the exact BETWEEN filter
+    runs post-join; the naive plan Spark would pick for the bare
+    inequality join is BroadcastNestedLoopJoin.  The oracle IS that
+    naive inequality join in DuckDB."""
+    from .operators.events import range_join
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+
+    def us(c):
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(c),
+        )
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us("ts").alias("t")
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        us("ts").alias("t0"),
+        (us("ts") + 21_600_000_000).alias("t1"),
+    )
+    j = range_join(
+        clicks, errs, "t", "t0", "t1", on="user_id", bucket_width=21_600_000_000
+    )
+    return j.select(
+        "click_id", "err_id", "user_id", (F.col("t") - F.col("t0")).alias("gap_us")
+    )

@@ -90,6 +90,73 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    on: str | None = None,
+    bucket_width: float = None,
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """Point-in-interval range join: all (left, right) pairs with
+    ``right_start <= left_point <= right_end`` (and equal ``on`` key
+    if given).  Point/start/end are numeric columns (e.g. epoch
+    microseconds) — callers convert timestamps first.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin —
+    quadratic and memory-cliffed.  The scale path here buckets the
+    axis by ``bucket_width``: each left point lands in exactly ONE
+    bucket (so no output dedup is needed), each right interval
+    explodes to the buckets it covers (JVM `sequence`, bounded
+    replication), and the join becomes a shuffled equi-join on
+    (key, bucket) + an exact BETWEEN filter.  Pick bucket_width near
+    the typical interval length: replication is
+    ~1 + interval/bucket_width.
+
+    Intervals covering more than ``max_buckets_per_interval`` buckets
+    are NOT exploded (a degenerate mega-interval would replicate
+    itself into millions of rows); they fall back to a plain equi-join
+    on the key + BETWEEN — principled, because a long interval matches
+    a large share of its key's points anyway, so bucket replication
+    buys nothing there.  With ``on=None`` the fallback is a broadcast
+    of the (few) oversized intervals.  Both legs are JVM-only.
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive number")
+    pt, lo, hi = F.col(left_point), F.col(right_start), F.col(right_end)
+    n_buckets = (F.floor(hi / bucket_width) - F.floor(lo / bucket_width)) + 1
+    small = right.filter(n_buckets <= max_buckets_per_interval)
+    big = right.filter(n_buckets > max_buckets_per_interval)
+
+    exploded = small.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(lo / bucket_width), F.floor(hi / bucket_width)
+            )
+        ),
+    )
+    lb = left.withColumn("_rj_bucket", F.floor(pt / bucket_width))
+    keys = ["_rj_bucket"] + ([on] if on else [])
+    out = (
+        lb.join(exploded, on=keys, how="inner")
+        .filter((pt >= lo) & (pt <= hi))
+        .drop("_rj_bucket")
+    )
+
+    if on:
+        big_leg = left.join(big, on=[on], how="inner").filter(
+            (pt >= lo) & (pt <= hi)
+        )
+    else:
+        big_leg = left.join(
+            F.broadcast(big), on=(pt >= lo) & (pt <= hi), how="inner"
+        )
+    return out.unionByName(big_leg)
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
