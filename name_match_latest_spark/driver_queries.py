@@ -1741,11 +1741,11 @@ UNION ALL SELECT t1_id, t2_id, 11 FROM l11
 """
 
 
-@q("cascade_run_exclusive", _cascade_exclusive_oracle())
-def _cascade_run_exclusive(spark, sf_dir):
-    """Full exclusive cascade L1/L2/L3/L10/L11 with per-level tags —
-    the driver-loop orchestration (cascade.rs:622-903), oracle-replayed
-    as a static anti-join chain."""
+def _exclusive_cascade_pairs(spark, sf_dir):
+    """The canonical exclusive L1/L2/L3/L10/L11 run as (t1_id, t2_id,
+    level) pairs — shared by cascade_run_exclusive and
+    cascade_summary so the summary can never desynchronize from the
+    pair query it summarizes (levels/threshold live HERE only)."""
     from .operators.cascade import CascadeConfig, run_cascade
 
     t1, t2 = load_persons(spark, sf_dir)
@@ -1759,6 +1759,14 @@ def _cascade_run_exclusive(spark, sf_dir):
         )
         out = lvl if out is None else out.unionByName(lvl)
     return out
+
+
+@q("cascade_run_exclusive", _cascade_exclusive_oracle())
+def _cascade_run_exclusive(spark, sf_dir):
+    """Full exclusive cascade L1/L2/L3/L10/L11 with per-level tags —
+    the driver-loop orchestration (cascade.rs:622-903), oracle-replayed
+    as a static anti-join chain."""
+    return _exclusive_cascade_pairs(spark, sf_dir)
 
 
 @q(
@@ -1913,18 +1921,7 @@ def _cascade_summary(spark, sf_dir):
     aggregation reuses the run's per-level frames (already cached by
     run_cascade for the exclusion anti-joins), so the summary costs one
     extra partial-agg pass, no re-execution of any level."""
-    from .operators.cascade import CascadeConfig, run_cascade
-
-    t1, t2 = load_persons(spark, sf_dir)
-    results = run_cascade(
-        t1, t2, CascadeConfig(levels=[1, 2, 3, 10, 11], threshold=0.8)
-    )
-    out = None
-    for lr in results:
-        lvl = lr.matches.select(
-            "t1_id", "t2_id", F.lit(lr.level).alias("level")
-        )
-        out = lvl if out is None else out.unionByName(lvl)
+    out = _exclusive_cascade_pairs(spark, sf_dir)
     return out.groupBy("level").agg(
         F.count("*").alias("n_matches"),
         F.countDistinct("t1_id").alias("n_t1"),
@@ -1973,7 +1970,7 @@ def _block_guard_stats(spark, sf_dir):
     "events_sessionize",
     """
 WITH s AS (
-  SELECT user_id, epoch_us(ts) AS us, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS brk
@@ -1981,7 +1978,7 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sid AS (
   SELECT user_id, ts, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM s)
 SELECT user_id, session_seq,
@@ -2001,7 +1998,19 @@ def _events_sessionize(spark, sf_dir):
     from .operators.events import session_stats
 
     register_views(spark, sf_dir)
-    return session_stats(spark.table("events"))
+    s = session_stats(spark.table("events"))
+    # string-format the bounds HERE (hash-gate concern, not the
+    # operator's): the operator returns real timestamps
+    return s.withColumns(
+        {
+            "session_start": F.date_format(
+                "session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ),
+            "session_end": F.date_format(
+                "session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ),
+        }
+    )
 
 
 def _web_domain_oracle() -> str | None:
@@ -2097,11 +2106,11 @@ SELECT media_id,
        CASE WHEN h LIKE '424D%'     THEN {le32s(18)}
             WHEN h LIKE '89504E47%' THEN {be32(16)}
             WHEN h LIKE '47494638%' THEN {le16(6)}
-            WHEN h LIKE 'FFD8FF%'   THEN {be16(sof + 7)} END AS width,
+            WHEN h LIKE 'FFD8FF%' AND substr(h, {2 * sof + 1}, 2) = 'FF' AND substr(h, {2 * sof + 3}, 2) IN ('C0', 'C2') THEN {be16(sof + 7)} END AS width,
        CASE WHEN h LIKE '424D%'     THEN abs({le32s(22)})
             WHEN h LIKE '89504E47%' THEN {be32(20)}
             WHEN h LIKE '47494638%' THEN {le16(8)}
-            WHEN h LIKE 'FFD8FF%'   THEN {be16(sof + 5)} END AS height
+            WHEN h LIKE 'FFD8FF%' AND substr(h, {2 * sof + 1}, 2) = 'FF' AND substr(h, {2 * sof + 3}, 2) IN ('C0', 'C2') THEN {be16(sof + 5)} END AS height
 FROM m
 """
 

@@ -59,6 +59,11 @@ def asof_join(
     if how not in ("left", "inner"):
         raise ValueError("asof_join supports how='left'|'inner'")
     rcols = [c for c in right.columns if c != on]
+    # a NULL right_ts can never satisfy `right_ts <= left_ts` (SQL
+    # three-valued logic; DuckDB ASOF agrees) — drop such rows before
+    # tagging, or NULLS FIRST ordering would carry their payload onto
+    # every left row at the partition head
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_t"),
@@ -97,7 +102,7 @@ def range_join(
     right_start: str,
     right_end: str,
     on: str | None = None,
-    bucket_width: float = None,
+    bucket_width: float | None = None,
     max_buckets_per_interval: int = 4096,
 ) -> DataFrame:
     """Point-in-interval range join: all (left, right) pairs with
@@ -201,15 +206,12 @@ def session_stats(
     gap_sec: int = 1800,
     value_col: str | None = "value",
 ) -> DataFrame:
-    """Per-session rollup: bounds, event count, summed value.  Same
-    single exchange as `sessionize` (group key ⊇ partition key)."""
+    """Per-session rollup: bounds (as real timestamps), event count,
+    summed value.  Same single exchange as `sessionize` (group key ⊇
+    partition key)."""
     agg = [
-        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "session_start"
-        ),
-        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "session_end"
-        ),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     ]
     if value_col is not None:

@@ -161,7 +161,15 @@ def attach_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     is_bmp = F.startswith(h, F.lit(b"BM".hex().upper()))
     is_png = F.startswith(h, F.lit(b"\x89PNG".hex().upper()))
     is_gif = F.startswith(h, F.lit(b"GIF8".hex().upper()))
-    is_jpg = F.startswith(h, F.lit(b"\xff\xd8\xff".hex().upper()))
+    # the fixed-offset SOF read is only valid for OUR encoder's layout
+    # — require an actual SOF0/SOF2 marker there, else NULL dims (a
+    # foreign JPEG with an EXIF APP1 would otherwise decode random
+    # table bytes as its size)
+    is_jpg = (
+        F.startswith(h, F.lit(b"\xff\xd8\xff".hex().upper()))
+        & (byte(JPEG_SOF_OFF) == 0xFF)
+        & byte(JPEG_SOF_OFF + 1).isin(0xC0, 0xC2)
+    )
 
     width = (
         F.when(is_bmp, le32_signed(18))

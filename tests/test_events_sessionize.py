@@ -59,10 +59,10 @@ def test_session_stats_rollup(spark):
     assert len(rows) == 4
     s11 = rows[(1, 1)]
     assert s11.n_events == 2 and s11.sum_value == 3.0
-    assert s11.session_start == "2024-01-01 00:00:00.000000"
-    assert s11.session_end == "2024-01-01 00:10:00.000000"
+    assert s11.session_start == _ts(0)
+    assert s11.session_end == _ts(10)
     s12 = rows[(1, 2)]
-    assert s12.n_events == 1 and s12.session_start.endswith(".000001")
+    assert s12.n_events == 1 and s12.session_start == _ts(41, 0, 1)
 
 
 def test_single_exchange_plan(spark):
@@ -102,6 +102,27 @@ def test_asof_join_left_semantics(spark):
         2: (None, None),  # key exists nowhere on the right
         3: (None, None),  # key 3 has no right rows
     }
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """A NULL right timestamp can never satisfy <= (three-valued
+    logic; DuckDB ASOF agrees) — its payload must not leak onto left
+    rows via NULLS FIRST ordering."""
+    from name_match_latest_spark.operators.events import asof_join
+
+    left = spark.createDataFrame([(0, 1, 10.0)], "event_id long, k long, t double")
+    right = spark.createDataFrame(
+        [(1, None, "nullts"), (1, 50.0, "later")],
+        "k long, rt double, v string",
+    )
+    rows = asof_join(left, right, on="k", left_ts="t", right_ts="rt").collect()
+    assert len(rows) == 1 and rows[0].rt is None and rows[0].v is None
+    assert (
+        asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt", how="inner"
+        ).count()
+        == 0
+    )
 
 
 def test_asof_join_inner_drops_unmatched(spark):

@@ -78,6 +78,31 @@ def test_jpeg_sof_offset_constant(media_rows):
     assert n_jpeg >= 12  # baseline, 4:2:0, progressive per shape
 
 
+def test_foreign_jpeg_layout_gets_null_dims(spark):
+    """A JPEG whose SOF is NOT at our encoder's fixed offset (e.g. an
+    EXIF APP1 camera file) must yield NULL dims, not garbage decoded
+    from table bytes."""
+    from name_match_latest_spark.operators.multimodal import (
+        attach_image_dims,
+        attach_media_metadata,
+    )
+
+    # SOI + APP1(EXIF) stub + padding: valid magic, no SOF at offset 89
+    foreign = (
+        b"\xff\xd8\xff\xe1" + (200).to_bytes(2, "big") + b"Exif\x00\x00"
+        + bytes(220)
+    )
+    rows = attach_image_dims(
+        attach_media_metadata(
+            spark.createDataFrame(
+                [(0, bytearray(foreign))], "media_id long, payload binary"
+            )
+        )
+    ).collect()
+    assert rows[0].media_kind == "image/jpeg"
+    assert rows[0].width is None and rows[0].height is None
+
+
 def test_unknown_payload_null_dims(spark):
     from name_match_latest_spark.operators.multimodal import (
         attach_image_dims,
