@@ -16,8 +16,9 @@ user's event count, never by corpus size; a pathological power user is
 still one partition's sort, and AQE skew-split cannot break window
 semantics because the window key equals the exchange key.
 
-Gap arithmetic is exact integer microseconds (timestamp_diff), never
-float seconds, so the DuckDB oracle (epoch_us) is bit-identical.
+Gap arithmetic is exact integer microseconds (timestamp + INTERVAL
+comparison), never float seconds, so the DuckDB oracle (epoch_us) is
+bit-identical.
 """
 
 from __future__ import annotations
@@ -178,12 +179,22 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    # timestamp_diff is NTZ-and-LTZ-safe wall-clock microseconds — no
-    # session-timezone dependence, unlike unix_micros (which rejects
-    # TIMESTAMP_NTZ parquet columns outright)
-    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+    # gap test as a direct timestamp comparison (prev + INTERVAL):
+    # exact integer-microsecond arithmetic, NTZ-and-LTZ-safe and
+    # timezone-free like timestamp_diff, but measurably cheaper inside
+    # the window hot loop — at 80M rows/local[32] the timestamp_diff
+    # form ran 18.4s vs 14.6s for this one (window framework floor
+    # 11.9s; see BASELINE.md round-5c scale notes).  unix_micros is
+    # not an option: it rejects TIMESTAMP_NTZ parquet columns.
     brk: Column = (
-        F.when(prev.isNull() | (gap_us > gap_sec * 1_000_000), 1)
+        F.when(
+            prev.isNull()
+            | (
+                F.col(ts_col)
+                > prev + F.expr(f"INTERVAL {int(gap_sec)} SECOND")
+            ),
+            1,
+        )
         .otherwise(0)
     )
     return (
