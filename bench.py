@@ -69,6 +69,13 @@ def main() -> None:
         "web_domain_stats",     # round 5: crawl profiling over real extraction
         "media_meta",           # round 5: JVM header-dims metadata scan
         "block_guard_stats",    # round 5: guard + histogram observability
+        "graph_pagerank",       # round 5: fixed-point integer PageRank
+        "tfidf_top_terms",      # round 5: libm-exact TF-IDF top-k
+        # graph_triangles is oracle+pytest-gated but NOT a headline
+        # member: the sf0.1 co-supplier graph is near-complete (1000
+        # nodes / 453,588 of 499,500 possible edges), so the triangle
+        # workload is inherently cubic-ish there — a stress shape, not
+        # a latency benchmark.
     ]
 
     # warm the session (python worker fleet, codegen, buffer pools) so

@@ -2282,3 +2282,164 @@ def _events_range_join(spark, sf_dir):
     return j.select(
         "click_id", "err_id", "user_id", (F.col("t") - F.col("t0")).alias("gap_us")
     )
+
+
+# --- graph analytics (PageRank / triangles) ---------------------------------
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled fixed-point PageRank in DuckDB: the same integer
+    recurrence as operators/graph.py, one CTE per iteration.  Integer
+    sums are order-independent, so the two engines are bit-comparable
+    with no float tolerance at all — rank is a BIGINT."""
+    scale, num, den = 10**12, 85, 100
+    teleport = ((den - num) * scale) // den
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+r0 AS (SELECT id, CAST(%d AS BIGINT) AS rank FROM nodes)"""
+        % scale
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+inf{i} AS (
+  SELECT e.dst AS id, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s
+  FROM r{i - 1} r JOIN outdeg o ON r.id = o.src
+  JOIN edges e ON e.src = r.id
+  GROUP BY e.dst),
+dang{i} AS (
+  SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS dang
+  FROM r{i - 1} r LEFT JOIN outdeg o ON r.id = o.src
+  WHERE o.src IS NULL),
+r{i} AS (
+  SELECT n.id,
+         CAST({teleport} + ({num} * (COALESCE(inf.s, 0)
+              + (d.dang // nn.n_nodes))) // {den} AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN inf{i} inf ON n.id = inf.id
+  CROSS JOIN dang{i} d CROSS JOIN nn)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS node_id, rank FROM r{iterations}
+"""
+    )
+    return "".join(parts)
+
+
+@q("graph_pagerank", _pagerank_oracle())
+def _graph_pagerank(spark, sf_dir):
+    """PageRank over the customer->supplier purchase graph (distinct
+    (c_custkey, l_suppkey) pairs through orders) — the link-authority
+    pass a crawl scheduler runs over the host graph.  5 synchronous
+    iterations, 64-bit fixed-point integer arithmetic (rank mass
+    scaled by 1e12): bit-identical under any partitioning, so the
+    DuckDB oracle (same recurrence, unrolled CTEs) hash-matches with
+    zero float tolerance.  Suppliers are dangling nodes; their mass
+    redistributes uniformly.  Plan: one shuffle per iteration
+    (groupBy dst) + two broadcast scalars; lineage localCheckpoint'd
+    per iteration (clustering.py's pattern)."""
+    from .operators.graph import pagerank
+
+    register_views(spark, sf_dir)
+    edges = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(edges).select(F.col("id").alias("node_id"), "rank")
+
+
+@q(
+    "graph_triangles",
+    """
+WITH pairs AS (
+  SELECT DISTINCT least('s' || a.l_suppkey, 's' || b.l_suppkey) AS a,
+                  greatest('s' || a.l_suppkey, 's' || b.l_suppkey) AS b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey <> b.l_suppkey)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+)
+def _graph_triangles(spark, sf_dir):
+    """Exact triangle count over the co-supplier graph (suppliers
+    sharing an order).  The Spark operator is the degree-ordered
+    node-iterator (out-degree bounded by O(sqrt(m)) after
+    orientation — the bound that keeps hub nodes from exploding the
+    wedge join at web scale); the oracle is the INDEPENDENT textbook
+    a<b<c ordered-triple join, so a hash match certifies the
+    orientation trick computes the same count."""
+    from .operators.graph import triangle_count
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            F.concat(F.lit("s"), F.col("sa").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("sb").cast("string")).alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+# --- TF-IDF ----------------------------------------------------------------
+
+
+@q(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         lower(unnest(regexp_split_to_array(text, '[^a-zA-Z0-9]+'))) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tf, df, floor(score * 1e6) / 1e6 AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def _tfidf_top_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document — corpus term weighting for
+    topical filtering of training data.  ASCII-alnum tokenization (no
+    unicode lowercasing ambiguity), ln computed on the distinct-df
+    dim via an Arrow batch calling libm math.log (bit-identical to
+    DuckDB's ln — Java's Math.log differs by 1 ulp on ~7% of inputs,
+    measured, so the JVM F.log fast path stays opt-in).  Raw doubles
+    drive the ranking in BOTH engines; the 1e-6 floor is only output
+    formatting."""
+    from .operators.textstats import tfidf_top_terms
+
+    register_views(spark, sf_dir)
+    out = tfidf_top_terms(spark.table("documents"), k=5)
+    return out.withColumn(
+        "score", F.floor(F.col("score") * 1e6) / F.lit(1e6)
+    )

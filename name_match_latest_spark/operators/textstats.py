@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["text_quality", "token_counts", "lang_id_heuristic", "doc_fingerprints"]
+__all__ = [
+    "text_quality",
+    "token_counts",
+    "lang_id_heuristic",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+]
 
 # tiny per-language stopword lists for the n-gram-free heuristic
 LANG_STOPWORDS = {
@@ -88,3 +94,101 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     whitespace-collapsed lowercase text."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, exact_log: bool = True
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the term-weighting pass a
+    training-data pipeline runs for corpus search / topical filtering.
+
+    Tokenization is ASCII-alnum runs (split on ``[^a-zA-Z0-9]+``) so
+    token identity is engine-independent (no unicode lowercasing
+    ambiguity: the kept tokens are pure ASCII, then lowercased).
+    ``score = tf * ln(N/df)``; ties rank by term ascending.
+
+    Plan shape (the 100 TB story): explode + two hash aggregates
+    (term frequency per doc, document frequency per term) + one
+    broadcast join of the idf dim + one window top-k — no Python in
+    the per-token path.  The idf table is computed over the DISTINCT
+    document-frequency values (an integer in [1, N], so the dim is at
+    most min(|vocab|, N) rows and in practice tiny) rather than per
+    vocab row.
+
+    ``exact_log=True`` computes ln on that dim via an Arrow batch
+    calling libm (``math.log``) — bit-identical to DuckDB/Postgres/
+    numpy-free C engines, which makes the whole operator
+    hash-verifiable cross-engine.  ``exact_log=False`` keeps ln
+    JVM-side (``F.log``, whole-stage codegen); Java's Math.log may
+    differ from libm by 1 ulp, irrelevant for ranking in practice.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "[^a-zA-Z0-9]+")).alias("raw"),
+        )
+        .where(F.col("raw") != "")
+        .select("doc_id", F.lower(F.col("raw")).alias("term"))
+    )
+    # tf is derived from the corpus-wide explode; dfreq and the idf
+    # dim both re-read it.  Checkpoint both or the tokenizer pipeline
+    # executes three times per query (once per consumer) — one full
+    # corpus scan instead of three, and AQE sizes the downstream joins
+    # from the materialized stats.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=False)
+    )
+    n_docs_df = docs.agg(F.count("*").alias("n_docs"))
+
+    if exact_log:
+        import math
+
+        import pandas as pd
+
+        dfs = dfreq.select("df").distinct().crossJoin(F.broadcast(n_docs_df))
+
+        def _idf(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "df": pdf["df"],
+                        "idf": [
+                            math.log(n / d)
+                            for d, n in zip(pdf["df"], pdf["n_docs"])
+                        ],
+                    }
+                )
+
+        idf_dim = dfs.mapInPandas(_idf, "df long, idf double")
+        vocab = dfreq.join(F.broadcast(idf_dim), "df")
+    else:
+        vocab = dfreq.crossJoin(F.broadcast(n_docs_df)).select(
+            "term",
+            "df",
+            F.log(F.col("n_docs").cast("double") / F.col("df")).alias("idf"),
+        )
+
+    from pyspark.sql import Window
+
+    scored = tf.join(vocab.select("term", "df", "idf"), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.col("idf")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
