@@ -71,6 +71,9 @@ def main() -> None:
         "block_guard_stats",    # round 5: guard + histogram observability
         "graph_pagerank",       # round 5: fixed-point integer PageRank
         "tfidf_top_terms",      # round 5: libm-exact TF-IDF top-k
+        "bigram_collocations",  # round 5: lift-ranked collocations
+        "corpus_stratified_sample",  # round 5: md5-bucket downsample
+        "corpus_split_assign",       # round 5: train/val/test ranges
         # graph_triangles is oracle+pytest-gated but NOT a headline
         # member: the sf0.1 co-supplier graph is near-complete (1000
         # nodes / 453,588 of 499,500 possible edges), so the triangle

@@ -2443,3 +2443,132 @@ def _tfidf_top_terms(spark, sf_dir):
     return out.withColumn(
         "score", F.floor(F.col("score") * 1e6) / F.lit(1e6)
     )
+
+
+# --- deterministic corpus sampling ------------------------------------------
+
+_SAMPLE_SEED = "cs42"
+_STRATA_RATES = {"en": 0.5, "de": 1.0, "zh": 0.25}
+_STRATA_DEFAULT = 0.1
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _bucket_sql(key_sql: str, seed: str) -> str:
+    """The md5 -> 32-bit bucket, as DuckDB SQL (same fold as _HEX32)."""
+    tok = f"({key_sql} || ':{seed}')"
+    return (
+        "CAST(list_sum(list_transform(range(8), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({tok}), i + 1, 1)) - 1)"
+        " * power(16, 7 - i))) AS BIGINT)"
+    )
+
+
+def _stratified_oracle() -> str:
+    from .operators.sampling import _threshold
+
+    case = " ".join(
+        f"WHEN lang = '{s}' THEN {_threshold(r)}"
+        for s, r in sorted(_STRATA_RATES.items())
+    )
+    b = _bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {b} < (CASE {case} ELSE {_threshold(_STRATA_DEFAULT)} END)
+"""
+
+
+@q("corpus_stratified_sample", _stratified_oracle())
+def _corpus_stratified_sample(spark, sf_dir):
+    """Language-rebalanced corpus downsample: per-stratum keep-rates
+    (en 0.5 / de 1.0 / zh 0.25 / default 0.1) decided by an md5
+    content-key bucket against exact integer thresholds — zero
+    floats in the decision, so the sample is bit-reproducible across
+    engines, reruns, and partitionings (the property that makes
+    incremental re-ingests keep their previous decisions).  Pure
+    Column predicate over one scan: no shuffle, no Python."""
+    from .operators.sampling import stratified_sample
+
+    register_views(spark, sf_dir)
+    return stratified_sample(
+        spark.table("documents").select("doc_id", "lang", "source"),
+        "lang",
+        _STRATA_RATES,
+        "doc_id",
+        seed=_SAMPLE_SEED,
+        default_rate=_STRATA_DEFAULT,
+    )
+
+
+def _split_oracle() -> str:
+    from .operators.sampling import _threshold
+
+    acc, whens = 0.0, []
+    names = list(_SPLIT_WEIGHTS)
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name]
+        whens.append(f"WHEN b < {_threshold(acc)} THEN '{name}'")
+    b = _bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
+    return f"""
+WITH bk AS (SELECT doc_id, lang, {b} AS b FROM documents)
+SELECT doc_id, lang,
+       CASE {" ".join(whens)} ELSE '{names[-1]}' END AS split
+FROM bk
+"""
+
+
+@q("corpus_split_assign", _split_oracle())
+def _corpus_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (0.8/0.1/0.1) by
+    cumulative md5-bucket ranges exactly tiling [0, 2^32) — every row
+    lands in exactly one split, forever, no matter where or when the
+    job runs.  Same scan-bound zero-shuffle shape as the sampler."""
+    from .operators.sampling import split_assign
+
+    register_views(spark, sf_dir)
+    return split_assign(
+        spark.table("documents").select("doc_id", "lang"),
+        _SPLIT_WEIGHTS,
+        "doc_id",
+        seed=_SAMPLE_SEED,
+    )
+
+
+# --- collocations ------------------------------------------------------------
+
+
+@q(
+    "bigram_collocations",
+    """
+WITH clean AS (
+  SELECT doc_id, list_transform(list_filter(
+      regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
+      x -> lower(x)) AS ts
+  FROM documents),
+pr AS (SELECT unnest(list_zip(ts, ts[2:])) AS p FROM clean),
+ab0 AS (SELECT p[1] AS term_a, p[2] AS term_b FROM pr WHERE p[2] IS NOT NULL),
+n_ab AS (
+  SELECT term_a, term_b, count(*) AS n_ab
+  FROM ab0 GROUP BY term_a, term_b HAVING count(*) >= 5),
+n_a AS (SELECT term_a, count(*) AS n_a FROM ab0 GROUP BY term_a),
+n_b AS (SELECT term_b, count(*) AS n_b FROM ab0 GROUP BY term_b),
+tt AS (SELECT count(*) AS t_total FROM ab0)
+SELECT term_a, term_b, n_ab, n_a, n_b,
+       CAST(n_ab * t_total AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+FROM n_ab JOIN n_a USING (term_a) JOIN n_b USING (term_b) CROSS JOIN tt
+ORDER BY lift DESC, term_a ASC, term_b ASC
+LIMIT 20
+""",
+)
+def _bigram_collocations(spark, sf_dir):
+    """Top-20 adjacent-pair collocations by LIFT = n_ab*T/(n_a*n_b)
+    (exp(PMI) — ranks identically to PMI with NO transcendental: the
+    one double division is correctly rounded, so the score is
+    bit-identical cross-engine with no flooring at all).  Spark side
+    pairs tokens via a lead() window per doc_id (the Catalyst plan for
+    within-document adjacency); the oracle pairs them via DuckDB's
+    native list_zip — two independent formulations of adjacency."""
+    from .operators.textstats import bigram_collocations
+
+    register_views(spark, sf_dir)
+    return bigram_collocations(spark.table("documents"), top_n=20, min_count=5)

@@ -1,0 +1,100 @@
+"""Deterministic corpus sampling: hash sampling, stratified rates,
+and train/val/test split assignment.
+
+A 100 TB training-data pipeline downsamples and splits by CONTENT KEY,
+never by `rand()`: the decision for a row must be reproducible across
+reruns, engines, partitionings, and incremental re-ingests (a page
+re-crawled tomorrow must land in the same split it landed in today).
+Everything here derives a 32-bit bucket from ``md5(key ':' seed)`` and
+compares it against integer thresholds precomputed in exact arithmetic
+— no floats anywhere in the decision path, so results are
+bit-reproducible and independently replayable in any engine with md5
+(the DuckDB oracles replay the same predicate).
+
+All three operators are pure Column expressions over one scan: no
+shuffle, no Python, fully codegen — at any corpus size they are
+scan-bound, and the sampling predicate pushes into the scan filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket32", "hash_sample", "stratified_sample", "split_assign"]
+
+_B32 = 1 << 32
+
+
+def _threshold(rate: float) -> int:
+    """Exact integer threshold for a keep-rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return round(rate * _B32)
+
+
+def hash_bucket32(key: Column, seed: str = "") -> Column:
+    """Uniform 32-bit bucket from md5(key ':' seed) — the first 8 hex
+    chars as an integer.  Engine-portable (md5 is everywhere) and
+    stable forever, unlike hash()/xxhash64 whose seeds are
+    implementation details."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(":" + seed)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: str = ""
+) -> DataFrame:
+    """Keep each row iff bucket(key) < round(rate * 2^32).  Exact,
+    deterministic, idempotent — rerunning over a grown corpus keeps
+    every previously-kept row."""
+    return df.where(hash_bucket32(F.col(key_col), seed) < F.lit(_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep-rates (e.g. ``{"en": 0.1, "de": 0.5}``) — the
+    language-rebalancing downsample every multilingual corpus build
+    runs.  Strata absent from ``rates`` get ``default_rate``.  The
+    rate map compiles to a CASE chain (strata counts are small);
+    thresholds are exact integers."""
+    thr: Column = F.lit(_threshold(default_rate))
+    for stratum in sorted(rates):  # deterministic compile order
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_threshold(rates[stratum]))
+        ).otherwise(thr)
+    return df.where(hash_bucket32(F.col(key_col), seed) < thr)
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by cumulative
+    bucket ranges (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``).
+    Weights must sum to 1 (±1e-9); the last split absorbs the
+    rounding remainder so the ranges exactly tile [0, 2^32)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    names = list(weights)  # caller order defines the range layout
+    bucket = hash_bucket32(F.col(key_col), seed)
+    acc = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append((name, _threshold(acc)))
+    # wrap back-to-front so the OUTERMOST when tests the lowest bound
+    expr: Column = F.lit(names[-1])
+    for name, ub in reversed(bounds):
+        expr = F.when(bucket < F.lit(ub), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -16,6 +16,7 @@ __all__ = [
     "lang_id_heuristic",
     "doc_fingerprints",
     "tfidf_top_terms",
+    "bigram_collocations",
 ]
 
 # tiny per-language stopword lists for the n-gram-free heuristic
@@ -192,3 +193,77 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df", "score")
     )
+
+
+def bigram_collocations(
+    docs: DataFrame, top_n: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Corpus-level collocation mining: the top-``top_n`` adjacent
+    word pairs ranked by LIFT — ``n_ab * T / (n_a * n_b)`` where T is
+    the total bigram count and n_a / n_b are the first- / second-slot
+    marginals.  Lift is exp(PMI); it ranks identically to PMI without
+    a transcendental in the score, so the whole statistic is a ratio
+    of exact integers and the cross-engine comparison needs no log
+    parity tricks (the one double division is correctly rounded and
+    bit-identical everywhere).
+
+    Tokenization matches tfidf_top_terms (ASCII-alnum runs,
+    lowercased).  Adjacency is within-document, after dropping
+    separator-only fragments.
+
+    Plan shape: explode with position -> lead() window keyed by
+    doc_id (one exchange; the same partitioning any per-doc pass
+    uses) -> bigram hash aggregate -> two marginal aggregates joined
+    back (vocab-sized, AQE-broadcast when small) -> global top-n via
+    TakeOrderedAndProject (no single-partition window).  min_count
+    prunes the long tail BEFORE the marginal joins — at web scale the
+    hapax mass is most of the bigram table.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "[^a-zA-Z0-9]+")).alias(
+                "pos", "raw"
+            ),
+        )
+        .where(F.col("raw") != "")
+        .select("doc_id", "pos", F.lower(F.col("raw")).alias("term"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("term_b", F.lead("term").over(w))
+        .where(F.col("term_b").isNotNull())
+        .select(F.col("term").alias("term_a"), "term_b")
+        # every downstream agg re-reads the bigram stream: materialize
+        # once (total + marginals + pair counts = 4 consumers)
+        .localCheckpoint(eager=False)
+    )
+    n_ab = (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    n_a = pairs.groupBy("term_a").agg(F.count("*").alias("n_a"))
+    n_b = pairs.groupBy("term_b").agg(F.count("*").alias("n_b"))
+    total = pairs.agg(F.count("*").alias("t_total"))
+    scored = (
+        n_ab.join(n_a, "term_a")
+        .join(n_b, "term_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("t_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(top_n)
