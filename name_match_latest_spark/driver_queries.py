@@ -2572,3 +2572,75 @@ def _bigram_collocations(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return bigram_collocations(spark.table("documents"), top_n=20, min_count=5)
+
+
+# --- decontamination ---------------------------------------------------------
+
+
+def _decontam_oracle() -> str:
+    """Split assignment replayed via the md5-bucket ranges, then the
+    dedup family's n-gram construction, then the distinct-train-set
+    join — the whole curation chain as one SQL twin."""
+    from .operators.sampling import _threshold
+
+    b = _bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
+    acc, whens = 0.0, []
+    names = list(_SPLIT_WEIGHTS)
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name]
+        whens.append(f"WHEN {b} < {_threshold(acc)} THEN '{name}'")
+    return f"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE {" ".join(whens)} ELSE '{names[-1]}' END AS split
+  FROM documents),
+toks AS (
+  SELECT doc_id, split,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') tl
+  FROM sp WHERE split IN ('train', 'test')),
+tok AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tl) - 2, 0) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 2), ' ')))) AS tok
+  FROM toks),
+train_set AS (SELECT DISTINCT tok FROM tok WHERE split = 'train'),
+test_tok AS (SELECT doc_id, tok FROM tok WHERE split = 'test'),
+sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM test_tok GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_shared
+  FROM test_tok t JOIN train_set s ON t.tok = s.tok
+  GROUP BY t.doc_id)
+SELECT s.doc_id, s.n_ngrams,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       floor((CAST(COALESCE(h.n_shared, 0) AS DOUBLE)
+              / CAST(s.n_ngrams AS DOUBLE)) * 1e6) / 1e6 AS contamination
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+
+@q("split_decontam", _decontam_oracle())
+def _split_decontam(spark, sf_dir):
+    """Benchmark decontamination over the deterministic 0.8/0.1/0.1
+    split: for every TEST document, the fraction of its distinct
+    word-3-gram shingles that appear ANYWHERE in the train split (the
+    GPT-3-style n-gram contamination check).  Composes split_assign's
+    md5-range assignment with the dedup family's Arrow shingler; the
+    train side collapses to a distinct shingle set first, so the
+    cross-split join is strictly linear.  The oracle replays the
+    entire chain - bucket CASE, n-gram list transform, distinct-set
+    join - in DuckDB."""
+    from .operators.decontam import cross_split_contamination
+    from .operators.sampling import split_assign
+
+    register_views(spark, sf_dir)
+    sp = split_assign(
+        spark.table("documents").select("doc_id", "text"),
+        _SPLIT_WEIGHTS,
+        "doc_id",
+        seed=_SAMPLE_SEED,
+    )
+    out = cross_split_contamination(sp, n=3)
+    return out.withColumn(
+        "contamination", F.floor(F.col("contamination") * 1e6) / F.lit(1e6)
+    )
