@@ -74,6 +74,8 @@ def main() -> None:
         "bigram_collocations",  # round 5: lift-ranked collocations
         "corpus_stratified_sample",  # round 5: md5-bucket downsample
         "corpus_split_assign",       # round 5: train/val/test ranges
+        "split_decontam",            # round 5: n-gram contamination
+        "embedding_label_centroids", # round 5: fixed-point centroids
         # graph_triangles is oracle+pytest-gated but NOT a headline
         # member: the sf0.1 co-supplier graph is near-complete (1000
         # nodes / 453,588 of 499,500 possible edges), so the triangle

@@ -2644,3 +2644,37 @@ def _split_decontam(spark, sf_dir):
     return out.withColumn(
         "contamination", F.floor(F.col("contamination") * 1e6) / F.lit(1e6)
     )
+
+
+# --- embedding aggregation ---------------------------------------------------
+
+
+@q(
+    "embedding_label_centroids",
+    """
+WITH comp AS (
+  SELECT label, t.i AS dim,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 16777216) AS BIGINT) AS v_fx
+  FROM embeddings, generate_series(1, 64) t(i))
+SELECT label, dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(v_fx) AS BIGINT) AS c_fx,
+       CAST(sum(v_fx) AS DOUBLE) / CAST(count(*) * 16777216 AS DOUBLE) AS centroid
+FROM comp
+GROUP BY label, dim
+""",
+)
+def _embedding_label_centroids(spark, sf_dir):
+    """Per-(label, dim) class centroids of the embedding corpus in
+    EXACT fixed-point arithmetic (components quantized to
+    floor(v * 2^24) BIGINTs, summed associatively) — the trick that
+    makes a distributed mean bit-reproducible under any partitioning,
+    retry, or engine: float sums are order-dependent, integer sums are
+    not.  c_fx hash-matches DuckDB with zero tolerance; the centroid
+    double is one correctly-rounded division of exact integers.  One
+    posexplode + one hash aggregate; the 64x fan-out is absorbed by
+    map-side partial aggregation."""
+    from .operators.embeddings import label_centroids
+
+    register_views(spark, sf_dir)
+    return label_centroids(spark.table("embeddings"))
