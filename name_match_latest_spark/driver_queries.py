@@ -2453,14 +2453,12 @@ _STRATA_DEFAULT = 0.1
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
-def _bucket_sql(key_sql: str, seed: str) -> str:
-    """The md5 -> 32-bit bucket, as DuckDB SQL (same fold as _HEX32)."""
-    tok = f"({key_sql} || ':{seed}')"
-    return (
-        "CAST(list_sum(list_transform(range(8), i -> "
-        f"(strpos('0123456789abcdef', substr(md5({tok}), i + 1, 1)) - 1)"
-        " * power(16, 7 - i))) AS BIGINT)"
-    )
+def _md5_bucket_sql(key_sql: str, seed: str) -> str:
+    """sampling.hash_bucket32 as DuckDB SQL: the _HEX32 nibble fold
+    over md5(key ':' seed).  (Named to avoid the pre-existing LSH
+    hyperplane helper ``_bucket_sql`` defined earlier in this
+    module.)"""
+    return _HEX32.format(tok=f"({key_sql} || ':{seed}')")
 
 
 def _stratified_oracle() -> str:
@@ -2470,7 +2468,7 @@ def _stratified_oracle() -> str:
         f"WHEN lang = '{s}' THEN {_threshold(r)}"
         for s, r in sorted(_STRATA_RATES.items())
     )
-    b = _bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
+    b = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
     return f"""
 SELECT doc_id, lang, source
 FROM documents
@@ -2500,19 +2498,24 @@ def _corpus_stratified_sample(spark, sf_dir):
     )
 
 
-def _split_oracle() -> str:
-    from .operators.sampling import _threshold
+def _split_case_sql(bucket_sql: str) -> str:
+    """CASE over split_assign's canonical range layout — derived from
+    the SAME split_bounds() the engine compiles, so the replayed split
+    cannot drift from the operator's."""
+    from .operators.sampling import split_bounds
 
-    acc, whens = 0.0, []
-    names = list(_SPLIT_WEIGHTS)
-    for name in names[:-1]:
-        acc += _SPLIT_WEIGHTS[name]
-        whens.append(f"WHEN b < {_threshold(acc)} THEN '{name}'")
-    b = _bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
+    bounds = split_bounds(_SPLIT_WEIGHTS)
+    whens = " ".join(
+        f"WHEN {bucket_sql} < {ub} THEN '{name}'" for name, ub in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
+def _split_oracle() -> str:
+    b = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
     return f"""
 WITH bk AS (SELECT doc_id, lang, {b} AS b FROM documents)
-SELECT doc_id, lang,
-       CASE {" ".join(whens)} ELSE '{names[-1]}' END AS split
+SELECT doc_id, lang, {_split_case_sql("b")} AS split
 FROM bk
 """
 
@@ -2581,18 +2584,10 @@ def _decontam_oracle() -> str:
     """Split assignment replayed via the md5-bucket ranges, then the
     dedup family's n-gram construction, then the distinct-train-set
     join — the whole curation chain as one SQL twin."""
-    from .operators.sampling import _threshold
-
-    b = _bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
-    acc, whens = 0.0, []
-    names = list(_SPLIT_WEIGHTS)
-    for name in names[:-1]:
-        acc += _SPLIT_WEIGHTS[name]
-        whens.append(f"WHEN {b} < {_threshold(acc)} THEN '{name}'")
+    b = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
     return f"""
 WITH sp AS (
-  SELECT doc_id, text,
-         CASE {" ".join(whens)} ELSE '{names[-1]}' END AS split
+  SELECT doc_id, text, {_split_case_sql(b)} AS split
   FROM documents),
 toks AS (
   SELECT doc_id, split,
@@ -2661,6 +2656,7 @@ SELECT label, dim,
        CAST(sum(v_fx) AS BIGINT) AS c_fx,
        CAST(sum(v_fx) AS DOUBLE) / CAST(count(*) * 16777216 AS DOUBLE) AS centroid
 FROM comp
+WHERE v_fx IS NOT NULL
 GROUP BY label, dim
 """,
 )

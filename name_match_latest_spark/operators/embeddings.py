@@ -39,6 +39,12 @@ def label_centroids(
     (a BIGINT, bit-identical under any partitioning or engine) and
     ``centroid = c_fx / (n_vecs * 2^scale_bits)`` (one correctly-
     rounded double division of exact integers).  ``dim`` is 1-based.
+
+    Null hygiene (pairwise exclusion): ``n_vecs`` counts NON-NULL
+    components per (label, dim) — a NULL embedding or a short vector
+    simply contributes nothing to any dim, and a NULL component
+    contributes nothing to its dim, instead of silently biasing the
+    mean toward 0 (count(*) would count it while sum skipped it).
     """
     scale = 1 << scale_bits
     comp = vecs.select(
@@ -50,6 +56,11 @@ def label_centroids(
         F.floor(F.col("v").cast("double") * F.lit(float(scale)))
         .cast("long")
         .alias("v_fx"),
+    ).where(
+        # drop NULL components BEFORE the aggregate so a (label, dim)
+        # group exists iff it has at least one non-null component —
+        # the same group-existence rule the SQL twin applies
+        F.col("v_fx").isNotNull()
     )
     return comp.groupBy("label", "dim").agg(
         F.count("*").alias("n_vecs"),

@@ -56,10 +56,21 @@ def pagerank(
     standard correction.  Returns ``(id, rank)`` with rank in scaled
     integer units.
 
+    Overflow safety: total rank mass stays <= n_nodes * scale, so any
+    node's inflow is bounded by it too.  The damping multiply is SPLIT
+    (``num*(x div den) + (num*(x mod den)) div den`` — algebraically
+    exact for x >= 0) so it never multiplies the full inflow, and the
+    operator REFUSES graphs where ``n_nodes * scale >= 2^62`` (sums
+    could exceed int64, and non-ANSI Spark would wrap silently —
+    identically at every parallelism level, so a bit-equality check
+    would certify garbage).  For graphs past ~4.6M nodes, pass a
+    smaller ``scale`` (e.g. ``2**20`` holds 4 x 10^12 nodes; per-node
+    quantization error is 1/scale per iteration).
+
     At 10^12 edges: the per-iteration shuffle is the groupBy(dst);
-    pre-partitioning ``edges`` by dst lets AQE reuse the exchange, and
-    the two global scalars move via broadcast, never a driver collect
-    of node state.
+    edges are checkpointed hash(src)-partitioned so the ranks⋈edges
+    join needs no exchange, and the dangling scalar moves via
+    broadcast, never a driver collect of node state.
     """
     # edges / outdeg / nodes are re-read EVERY iteration — checkpoint
     # them once or the distinct/groupBy lineage re-executes 5x.
@@ -89,8 +100,17 @@ def pagerank(
         .agg(F.count("*").alias("outdeg"))
         .localCheckpoint(eager=False)
     )
-    # one tiny broadcastable scalar frame: node count
-    n_nodes_df = nodes.agg(F.count("*").alias("n_nodes"))
+    # node count: one bounded driver-side scalar — used as a literal
+    # in every iteration AND as the int64 capacity guard
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(None).cast("long"))
+    if n_nodes * scale >= 1 << 62:
+        raise ValueError(
+            f"n_nodes * scale = {n_nodes} * {scale} >= 2^62: total rank "
+            "mass could overflow int64 (Spark would wrap SILENTLY at "
+            "every parallelism level). Pass a smaller scale, e.g. 2**20."
+        )
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     teleport = ((damp_den - damp_num) * scale) // damp_den
@@ -116,19 +136,21 @@ def pagerank(
         dang_df = r.where(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
         )
+        # split damping: num*(x div den) + (num*(x mod den)) div den ==
+        # (num*x) div den exactly for x >= 0, but never multiplies the
+        # full inflow — num * x would overflow int64 on hub nodes whose
+        # inflow approaches the total mass (see docstring)
+        x = f"(coalesce(inflow, 0) + (dang div {n_nodes}))"
+        damped = (
+            f"({damp_num} * ({x} div {damp_den})"
+            f" + ({damp_num} * ({x} % {damp_den})) div {damp_den})"
+        )
         ranks = (
             nodes.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dang_df))
-            .crossJoin(F.broadcast(n_nodes_df))
             .select(
                 "id",
-                (
-                    F.lit(teleport).cast("long")
-                    + F.expr(
-                        f"({damp_num} * (coalesce(inflow, 0)"
-                        f" + (dang div n_nodes))) div {damp_den}"
-                    )
-                ).alias("rank"),
+                (F.lit(teleport).cast("long") + F.expr(damped)).alias("rank"),
             )
             # truncate lineage so the plan stays O(1) per iteration
             .localCheckpoint(eager=False)

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket32", "hash_sample", "stratified_sample", "split_assign"]
+__all__ = [
+    "hash_bucket32",
+    "hash_sample",
+    "stratified_sample",
+    "split_assign",
+    "split_bounds",
+]
 
 _B32 = 1 << 32
 
@@ -31,6 +37,25 @@ def _threshold(rate: float) -> int:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return round(rate * _B32)
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """The canonical (name, upper_bound) layout for ``split_assign``'s
+    cumulative bucket ranges — the LAST split's bound is 2^32 (it
+    absorbs rounding remainder).  Oracle builders MUST derive their
+    CASE thresholds from this same function or their replayed split
+    drifts from the engine's."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        out.append((name, _threshold(acc)))
+    out.append((names[-1], _B32))
+    return out
 
 
 def hash_bucket32(key: Column, seed: str = "") -> Column:
@@ -82,19 +107,19 @@ def split_assign(
     """Assign every row to exactly one named split by cumulative
     bucket ranges (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``).
     Weights must sum to 1 (±1e-9); the last split absorbs the
-    rounding remainder so the ranges exactly tile [0, 2^32)."""
-    total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"split weights must sum to 1, got {total}")
-    names = list(weights)  # caller order defines the range layout
+    rounding remainder so the ranges exactly tile [0, 2^32).
+
+    NULL keys get a NULL split (md5(NULL) is NULL, there is no content
+    key to decide by) — consistent with hash_sample /
+    stratified_sample, where a NULL key never satisfies the keep
+    predicate.  Validate or filter upstream if nulls are unexpected.
+    """
+    bounds = split_bounds(weights)  # validates weights
     bucket = hash_bucket32(F.col(key_col), seed)
-    acc = 0.0
-    bounds: list[tuple[str, int]] = []
-    for name in names[:-1]:
-        acc += weights[name]
-        bounds.append((name, _threshold(acc)))
-    # wrap back-to-front so the OUTERMOST when tests the lowest bound
-    expr: Column = F.lit(names[-1])
-    for name, ub in reversed(bounds):
+    # wrap back-to-front so the OUTERMOST when tests the lowest bound;
+    # a NULL bucket fails every WHEN and falls through to NULL (never
+    # to the last split)
+    expr: Column = F.when(bucket.isNotNull(), F.lit(bounds[-1][0]))
+    for name, ub in reversed(bounds[:-1]):
         expr = F.when(bucket < F.lit(ub), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)

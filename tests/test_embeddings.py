@@ -56,3 +56,20 @@ def test_centroid_close_to_float_mean(spark):
     r = label_centroids(_vecs(spark, rows)).collect()[0]
     mean = sum(0.25 * i for i in range(10)) / 10
     assert abs(r.centroid - mean) < 1e-6
+
+
+def test_null_hygiene_pairwise_exclusion(spark):
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, None, 0),            # null embedding: contributes nothing
+        (3, [4.0], 0),           # short vector: only dim 1
+        (4, [None, 8.0], 0),     # null component: dim 2 only
+    ]
+    out = {
+        (r.label, r.dim): (r.n_vecs, r.c_fx)
+        for r in label_centroids(_vecs(spark, rows)).collect()
+    }
+    s = 1 << 24
+    assert out[(0, 1)] == (2, (1 * s) + (4 * s))
+    assert out[(0, 2)] == (2, (2 * s) + (8 * s))
+    assert len(out) == 2

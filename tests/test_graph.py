@@ -132,3 +132,29 @@ class TestTriangleCount:
             if (x, y) in adj and (y, z) in adj and (x, z) in adj
         )
         assert n_tri(spark, list(edges)) == brute
+
+
+class TestPagerankOverflowSafety:
+    def test_capacity_guard_raises(self, spark):
+        edges = [(1, 2), (2, 3), (3, 4)]
+        df = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in edges], "src string, dst string"
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="2\\^62"):
+            pagerank(df, scale=2**61)
+
+    def test_hub_inflow_past_old_multiply_limit(self, spark):
+        # scale 2^56, 3-spoke star: hub inflow = 3 * 2^56 ≈ 2.16e17, so
+        # the pre-fix single multiply 85 * inflow ≈ 1.8e19 > int64 max
+        # wrapped silently; the split damping must match the
+        # arbitrary-precision reference exactly
+        edges = [(1, 0), (2, 0), (3, 0)]
+        got = spark_pagerank(spark, edges, scale=2**56)
+        assert got == py_pagerank(edges, scale=2**56)
+        assert all(v > 0 for v in got.values())
+
+    def test_empty_graph(self, spark):
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(df).count() == 0

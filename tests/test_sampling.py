@@ -154,3 +154,33 @@ class TestBigramCollocations:
             for r in bigram_collocations(docs, top_n=10, min_count=1).collect()
         }
         assert out == {("foo", "bar"): 2, ("bar", "foo"): 1}
+
+
+class TestNullKeys:
+    def _with_null(self, spark):
+        return spark.createDataFrame(
+            [(None, "en"), ("7", "en"), ("9", "de")],
+            "doc_id string, lang string",
+        )
+
+    def test_samplers_drop_null_keys(self, spark):
+        df = self._with_null(spark)
+        assert {
+            r.doc_id for r in hash_sample(df, 1.0, "doc_id").collect()
+        } == {"7", "9"}
+        assert {
+            r.doc_id
+            for r in stratified_sample(
+                df, "lang", {"en": 1.0, "de": 1.0}, "doc_id"
+            ).collect()
+        } == {"7", "9"}
+
+    def test_split_assign_null_key_gets_null_split(self, spark):
+        out = {
+            r.doc_id: r.split
+            for r in split_assign(
+                self._with_null(spark), {"train": 0.9, "test": 0.1}, "doc_id"
+            ).collect()
+        }
+        assert out[None] is None
+        assert out["7"] in ("train", "test") and out["9"] in ("train", "test")
