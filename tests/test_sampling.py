@@ -184,3 +184,42 @@ class TestNullKeys:
         }
         assert out[None] is None
         assert out["7"] in ("train", "test") and out["9"] in ("train", "test")
+
+
+class TestStreamingLegality:
+    """The samplers are stateless Column predicates, so they must run
+    UNCHANGED on an unbounded stream (no state store, no watermark) —
+    a crawl firehose can be sampled/split on ingest, with decisions
+    identical to the batch pass over the same rows."""
+
+    def test_stream_sample_and_split_equal_batch(self, spark, tmp_path):
+        docs = _docs(spark, 300)
+        src = str(tmp_path / "in")
+        docs.write.parquet(src)
+
+        stream = spark.readStream.schema("doc_id long, lang string").parquet(src)
+        sampled = hash_sample(stream, 0.4, "doc_id", seed="st")
+        splitd = split_assign(sampled, {"train": 0.7, "test": 0.3}, "doc_id")
+        assert splitd.isStreaming
+
+        q = (
+            splitd.writeStream.format("memory")
+            .queryName("stream_sampled")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, r.split)
+            for r in spark.sql("select * from stream_sampled").collect()
+        }
+        want = {
+            (r.doc_id, r.split)
+            for r in split_assign(
+                hash_sample(docs, 0.4, "doc_id", seed="st"),
+                {"train": 0.7, "test": 0.3},
+                "doc_id",
+            ).collect()
+        }
+        assert got == want and len(got) > 0
