@@ -2674,3 +2674,136 @@ def _embedding_label_centroids(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return label_centroids(spark.table("embeddings"))
+
+
+# --- repetition quality (Gopher-style) ---------------------------------------
+
+_REP_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl
+  FROM documents),
+per_tok AS (
+  SELECT doc_id, tok, count(*) AS c, length(tok) AS l
+  FROM (SELECT doc_id, unnest(tl) AS tok FROM toks)
+  GROUP BY doc_id, tok),
+uni AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(sum(c * l) AS BIGINT) AS n_token_chars,
+         CAST(max(c * l) AS BIGINT) AS top_token_chars
+  FROM per_tok GROUP BY doc_id),
+big AS (
+  SELECT doc_id, g, count(*) AS c, length(g) AS l FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tl) - 1, 0) + 1),
+           i -> tl[i] || ' ' || tl[i + 1])) AS g
+    FROM toks)
+  GROUP BY doc_id, g),
+bigtop AS (
+  SELECT doc_id, CAST(max(c * l) AS BIGINT) AS top_bigram_chars
+  FROM big GROUP BY doc_id),
+stats AS (
+  SELECT d.doc_id,
+    COALESCE(n_tokens, 0) AS n_tokens,
+    COALESCE(n_distinct_tokens, 0) AS n_distinct_tokens,
+    COALESCE(n_token_chars, 0) AS n_token_chars,
+    CASE WHEN COALESCE(n_tokens, 0) > 0
+         THEN CAST(n_tokens - n_distinct_tokens AS DOUBLE)
+              / CAST(n_tokens AS DOUBLE)
+         ELSE 0.0 END AS dup_token_frac,
+    COALESCE(top_token_chars, 0) AS top_token_chars,
+    CASE WHEN COALESCE(n_token_chars, 0) > 0
+         THEN CAST(top_token_chars AS DOUBLE) / CAST(n_token_chars AS DOUBLE)
+         ELSE 0.0 END AS top_token_frac,
+    COALESCE(top_bigram_chars, 0) AS top_bigram_chars,
+    CASE WHEN COALESCE(n_token_chars, 0) > 0
+         THEN CAST(COALESCE(top_bigram_chars, 0) AS DOUBLE)
+              / CAST(n_token_chars AS DOUBLE)
+         ELSE 0.0 END AS top_bigram_frac
+  FROM documents d
+  LEFT JOIN uni USING (doc_id)
+  LEFT JOIN bigtop USING (doc_id))
+"""
+
+
+@q("token_repetition", _REP_STATS_ORACLE + "SELECT * FROM stats")
+def _token_repetition(spark, sf_dir):
+    """Gopher-style per-doc repetition features: duplicate-token
+    fraction plus the character mass of the most repeated unigram and
+    adjacent bigram (keyword-stuffing / templated-spam signal).  One
+    Arrow-batched scan, zero shuffles; counts are exact integers and
+    each ratio is one correctly-rounded double division, so the hash
+    matches DuckDB with no flooring."""
+    from .operators.repetition import token_repetition_stats
+
+    register_views(spark, sf_dir)
+    return token_repetition_stats(spark.table("documents"))
+
+
+@q(
+    "boilerplate_ngrams",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl
+  FROM documents),
+doc_ng AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tl) - 2, 0) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 2), ' '))) AS g
+    FROM toks)
+  GROUP BY doc_id, g)
+SELECT g AS ngram,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(cnt) AS BIGINT) AS occurrences
+FROM doc_ng
+GROUP BY g
+HAVING count(*) >= 4
+ORDER BY doc_freq DESC, occurrences DESC, ngram ASC
+LIMIT 50
+""",
+)
+def _boilerplate_ngrams(spark, sf_dir):
+    """Corpus-wide boilerplate: word trigrams shared by >= 4 distinct
+    documents, top-50 by document frequency (total order — ties break
+    by occurrences then ngram).  The per-doc n-gram Counter runs
+    inside the Arrow batch (map-side combine in Python), then ONE
+    hash aggregate on df-spread n-gram keys."""
+    from .operators.repetition import boilerplate_ngrams
+
+    register_views(spark, sf_dir)
+    return (
+        boilerplate_ngrams(spark.table("documents"), n=3, min_docs=4)
+        .orderBy(
+            F.col("doc_freq").desc(),
+            F.col("occurrences").desc(),
+            F.col("ngram").asc(),
+        )
+        .limit(50)
+    )
+
+
+@q(
+    "repetition_gate",
+    _REP_STATS_ORACLE
+    + """
+SELECT * FROM stats
+WHERE n_tokens >= 20 AND dup_token_frac <= 0.55 AND top_bigram_frac <= 0.12
+""",
+)
+def _repetition_gate(spark, sf_dir):
+    """The composite repetition keep/drop gate (min length, max
+    duplicate-token fraction, max top-bigram character fraction) —
+    a pure predicate over the single-scan stats: the filter adds
+    nothing to the physical plan.  Thresholds chosen non-degenerate
+    on the driver corpus (500 -> 457 -> 217 -> 130 docs)."""
+    from .operators.repetition import repetition_quality_gate
+
+    register_views(spark, sf_dir)
+    return repetition_quality_gate(
+        spark.table("documents"),
+        min_tokens=20,
+        max_dup_token_frac=0.55,
+        max_top_bigram_frac=0.12,
+    )
