@@ -2,8 +2,10 @@
 split, decontaminated training corpus.
 
     python -m name_match_latest_spark.curatecli DOCS OUT_DIR
-        [--format parquet|jsonl] [--master URL]
+        [--master URL]
         [--min-tokens N]                  quality floor (drop shorter docs)
+        [--max-dup-frac 0.55]             repetition gate: max duplicate-token
+        [--max-bigram-frac 0.12]            fraction / top-bigram char fraction
         [--sample en=0.5,de=1.0] [--default-rate 0.1] [--seed cs42]
         [--split train=0.8,val=0.1,test=0.1]
         [--decontam-ngram 3 | --no-decontam]
@@ -45,6 +47,10 @@ def run(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     p.add_argument("--min-tokens", type=int, default=0,
                    help="drop docs with fewer whitespace tokens")
+    p.add_argument("--max-dup-frac", type=float, default=None,
+                   help="drop docs whose duplicate-token fraction exceeds this")
+    p.add_argument("--max-bigram-frac", type=float, default=None,
+                   help="drop docs whose top-bigram character fraction exceeds this")
     p.add_argument("--sample", default=None,
                    help="per-lang keep rates, e.g. en=0.5,de=1.0")
     p.add_argument("--default-rate", type=float, default=1.0)
@@ -67,7 +73,24 @@ def run(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
-    if args.min_tokens > 0:
+    if args.max_dup_frac is not None or args.max_bigram_frac is not None:
+        # Gopher-style repetition gate; subsumes the token floor (the
+        # gate's tokenizer lowercases, which cannot change the count).
+        # A threshold of 1.0 disables that rule (frac <= 1.0 always).
+        from .operators.repetition import repetition_quality_gate
+
+        kept_ids = repetition_quality_gate(
+            docs,
+            min_tokens=args.min_tokens,
+            max_dup_token_frac=(
+                args.max_dup_frac if args.max_dup_frac is not None else 1.0
+            ),
+            max_top_bigram_frac=(
+                args.max_bigram_frac if args.max_bigram_frac is not None else 1.0
+            ),
+        ).select("doc_id")
+        docs = docs.join(kept_ids, "doc_id", "left_semi")
+    elif args.min_tokens > 0:
         n_tok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
         docs = docs.where(n_tok >= args.min_tokens)
 

@@ -69,3 +69,41 @@ def test_rerun_is_deterministic(spark, tmp_path, capsys, docs_path):
     ka = {r.doc_id: r.split for r in spark.read.parquet(str(tmp_path / "a") + "/corpus").collect()}
     kb = {r.doc_id: r.split for r in spark.read.parquet(str(tmp_path / "b") + "/corpus").collect()}
     assert ka == kb
+
+
+def test_repetition_gate_flags(spark, tmp_path, capsys, docs_path):
+    """--max-dup-frac/--max-bigram-frac route through
+    repetition_quality_gate; the kept set equals the operator's."""
+    from name_match_latest_spark.operators.repetition import (
+        repetition_quality_gate,
+    )
+
+    out = str(tmp_path / "og")
+    s = _run(
+        capsys,
+        [docs_path, out, "--min-tokens", "20", "--max-dup-frac", "0.55",
+         "--max-bigram-frac", "0.12", "--no-decontam"],
+    )
+    expect = {
+        r.doc_id
+        for r in repetition_quality_gate(
+            spark.read.parquet(docs_path),
+            min_tokens=20,
+            max_dup_token_frac=0.55,
+            max_top_bigram_frac=0.12,
+        ).collect()
+    }
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(out + "/corpus").select("doc_id").collect()
+    }
+    assert kept == expect
+    assert s["n_kept"] == len(expect) < 500
+
+
+def test_dup_frac_alone_keeps_token_floor_off(spark, tmp_path, capsys, docs_path):
+    """--max-dup-frac without --min-tokens must not silently impose a
+    length floor (min_tokens defaults to 0 -> only the dup rule)."""
+    out = str(tmp_path / "od")
+    s = _run(capsys, [docs_path, out, "--max-dup-frac", "1.0", "--no-decontam"])
+    assert s["n_kept"] == 500  # dup frac <= 1.0 always; no floor applied
