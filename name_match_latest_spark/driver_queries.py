@@ -2807,3 +2807,65 @@ def _repetition_gate(spark, sf_dir):
         max_dup_token_frac=0.55,
         max_top_bigram_frac=0.12,
     )
+
+
+# --- hashed-feature linear scoring (quality-classifier inference) ------------
+
+_QLF_BUCKETS = 4096
+_QLF_SEED = "qlf"
+_QLF_WSEED = "qlfw"
+
+
+def _qlf_oracle() -> str:
+    """The whole inference chain re-derived in SQL: md5 token->bucket,
+    md5 bucket->integer weight, exact integer accumulation."""
+    tok_bucket = (
+        _HEX32.format(tok=f"(tok || ':{_QLF_SEED}')") + f" % {_QLF_BUCKETS}"
+    )
+    w = (
+        "(-1000 + "
+        + _HEX32.format(tok=f"(CAST(b AS VARCHAR) || ':{_QLF_WSEED}')")
+        + " % 2001)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tb AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(tl) AS tok FROM toks)
+  GROUP BY doc_id, tok),
+wb AS (SELECT doc_id, c, {tok_bucket} AS b FROM tb),
+ww AS (SELECT doc_id, c, {w} AS w FROM wb),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * w) AS BIGINT) AS score_i
+  FROM ww GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  CAST(COALESCE(score_i, 0) AS DOUBLE) AS score,
+  CASE WHEN COALESCE(n_tokens, 0) > 0
+       THEN CAST(score_i AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       ELSE 0.0 END AS norm_score
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+@q("quality_linear_score", _qlf_oracle())
+def _quality_linear_score(spark, sf_dir):
+    """Hashed-feature linear scorer (the fastText-style quality-
+    classifier inference path): md5 feature hashing, broadcast weight
+    vector, one Arrow scan, zero shuffles.  Weights here are the
+    md5-derived INTEGER-VALUED stand-in, so every product and partial
+    sum is an exact integer under 2^53 and the float64 score
+    hash-matches DuckDB's BIGINT accumulation with zero tolerance."""
+    from .operators.inference import hashed_linear_score, md5_fixed_weights
+
+    register_views(spark, sf_dir)
+    return hashed_linear_score(
+        spark.table("documents"),
+        md5_fixed_weights(_QLF_BUCKETS, _QLF_WSEED),
+        seed=_QLF_SEED,
+    )
