@@ -76,6 +76,9 @@ def main() -> None:
         "corpus_split_assign",       # round 5: train/val/test ranges
         "split_decontam",            # round 5: n-gram contamination
         "embedding_label_centroids", # round 5: fixed-point centroids
+        "token_repetition",          # round 5: Gopher repetition stats
+        "boilerplate_ngrams",        # round 5: corpus-wide shared n-grams
+        "quality_linear_score",      # round 5: hashed-feature classifier
         # graph_triangles is oracle+pytest-gated but NOT a headline
         # member: the sf0.1 co-supplier graph is near-complete (1000
         # nodes / 453,588 of 499,500 possible edges), so the triangle
