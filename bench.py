@@ -79,6 +79,7 @@ def main() -> None:
         "token_repetition",          # round 5: Gopher repetition stats
         "boilerplate_ngrams",        # round 5: corpus-wide shared n-grams
         "quality_linear_score",      # round 5: hashed-feature classifier
+        "semantic_dedup",            # round 5: SemDeDup within-cell cosine
         # graph_triangles is oracle+pytest-gated but NOT a headline
         # member: the sf0.1 co-supplier graph is near-complete (1000
         # nodes / 453,588 of 499,500 possible edges), so the triangle

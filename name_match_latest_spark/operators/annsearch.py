@@ -36,6 +36,7 @@ __all__ = [
     "lsh_band_assignments",
     "lsh_bucket_assignments",
     "lsh_bucket_topk",
+    "semantic_dedup",
 ]
 
 
@@ -643,3 +644,68 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the
+    embedding corpus (the IVF quantizer), compare pairs ONLY within a
+    cluster, and drop every vector that has a same-cluster neighbor
+    with cosine >= ``threshold`` and a smaller id (min-id survives —
+    the same canonical-representative rule the LSH ingest gate and
+    dedup_cluster_reps use).  Returns the survivors as
+    ``(vec_id, centroid_id)``.
+
+    Scale shape (the SemDeDup design point): the all-pairs comparison
+    is confined WITHIN an inverted list, so total pair work is
+    ``sum(|list|^2)``, never O(N^2) — at 10^12 rows pick
+    ``n_centroids ~ N / 4096`` so each list holds ~4k vectors
+    (~8M scored pairs per list, an executor-sized task), and the
+    pair join is an equi-join on centroid_id (a blocking key exactly
+    like the person matcher's).  A hot list (skewed quantizer cell)
+    is split by raising n_centroids or running ``refine_iters`` Lloyd
+    steps — better-centered cells at the same budget.  Centroids are
+    md5-sampled (:func:`ivf_centroids`), so the whole decision
+    replays bit-identically in any engine.
+
+    Cross-cluster near-dups are missed by construction — the recall
+    trade SemDeDup makes; the banded-LSH ``embedding_near_dups`` is
+    the complementary candidate generator when recall matters more
+    than the strict within-cell cost bound.
+    """
+    from ..plans.caching import tracked_persist
+
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    if refine_iters > 0:
+        cents = kmeans_refine(
+            embeddings, cents, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
+    # persisted: the cell assignment (a corpus-wide window over the
+    # broadcast-centroid scores) feeds BOTH pair-join sides and the
+    # survivor return — without this it re-executes three times
+    # (caller releases via plans.caching.unpersist_tracked)
+    lists = tracked_persist(ivf_assignments(embeddings, cents, 1, id_col, vec_col))
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("_v")
+    ).join(lists, "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("d1"), F.col("_v").alias("_v1"), "centroid_id"
+    )
+    b = e.select(
+        F.col("vec_id").alias("d2"), F.col("_v").alias("_v2"), "centroid_id"
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("_cos", cosine_col(F.col("_v1"), F.col("_v2")))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("d2").alias("vec_id"))
+        .distinct()
+    )
+    return lists.join(dropped, "vec_id", "left_anti")

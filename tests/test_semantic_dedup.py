@@ -1,0 +1,74 @@
+"""semantic_dedup vs an independent numpy replica (md5 centroid
+sampling, argmax cell assignment, within-cell cosine, min-id
+survives), plus planted-duplicate and no-op-threshold cases."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from name_match_latest_spark.operators.annsearch import semantic_dedup
+
+
+def _embs(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def np_semantic_dedup(vecs, threshold, n_centroids):
+    """Pure numpy/hashlib replica of the operator's decision."""
+    vecs = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    ids = list(range(len(vecs)))
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = sorted(order[:n_centroids])
+    cmat = vecs[cents]
+
+    def cos(a, b):
+        return (a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+
+    cell = {}
+    for i in ids:
+        scored = sorted(
+            ((cos(vecs[i], cmat[j]), -cents[j]) for j in range(len(cents))),
+            reverse=True,
+        )
+        cell[i] = -scored[0][1]
+    dropped = set()
+    for i in ids:
+        for j in ids:
+            if i < j and cell[i] == cell[j] and cos(vecs[i], vecs[j]) >= threshold:
+                dropped.add(j)
+    return {(i, cell[i]) for i in ids if i not in dropped}
+
+
+class TestSemanticDedup:
+    def test_matches_numpy_replica(self, spark):
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(40, 8))
+        got = {
+            (r.vec_id, r.centroid_id)
+            for r in semantic_dedup(
+                _embs(spark, vecs), threshold=0.6, n_centroids=4
+            ).collect()
+        }
+        assert got == np_semantic_dedup(vecs, 0.6, 4)
+
+    def test_planted_duplicate_dropped_min_id_survives(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(20, 8))
+        vecs[15] = vecs[3]  # exact duplicate, same cell by construction
+        out = {
+            r.vec_id
+            for r in semantic_dedup(
+                _embs(spark, vecs), threshold=0.999, n_centroids=2
+            ).collect()
+        }
+        assert 3 in out and 15 not in out
+        assert len(out) == 19
+
+    def test_impossible_threshold_keeps_all(self, spark):
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(15, 6))
+        out = semantic_dedup(_embs(spark, vecs), threshold=1.1, n_centroids=3)
+        assert out.count() == 15
