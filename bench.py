@@ -80,6 +80,7 @@ def main() -> None:
         "boilerplate_ngrams",        # round 5: corpus-wide shared n-grams
         "quality_linear_score",      # round 5: hashed-feature classifier
         "semantic_dedup",            # round 5: SemDeDup within-cell cosine
+        "lm_bigram_nll",             # round 5: fixed-point LM perplexity
         # graph_triangles is oracle+pytest-gated but NOT a headline
         # member: the sf0.1 co-supplier graph is near-complete (1000
         # nodes / 453,588 of 499,500 possible edges), so the triangle

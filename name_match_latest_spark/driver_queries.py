@@ -2913,3 +2913,54 @@ def _semantic_dedup(spark, sf_dir):
     return semantic_dedup(
         spark.table("embeddings"), threshold=0.42, n_centroids=16
     )
+
+
+# --- bigram LM scoring (perplexity-style quality signal) ----------------------
+
+
+@q(
+    "lm_bigram_nll",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl
+  FROM documents),
+bg AS (
+  SELECT doc_id, w1, w2, count(*) AS cnt FROM (
+    SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2
+    FROM (SELECT doc_id, tl,
+                 unnest(generate_series(1, greatest(len(tl) - 1, 0))) AS i
+          FROM toks))
+  GROUP BY doc_id, w1, w2),
+cab AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c_ab FROM bg GROUP BY w1, w2),
+ca AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c_a FROM bg GROUP BY w1),
+j AS (
+  SELECT doc_id, cnt,
+         CAST(floor(ln(c_a) * 4294967296.0) AS BIGINT) AS lq_a,
+         CAST(floor(ln(c_ab) * 4294967296.0) AS BIGINT) AS lq_ab
+  FROM bg JOIN cab USING (w1, w2) JOIN ca USING (w1)),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(cnt * (lq_a - lq_ab)) AS BIGINT) AS nll_fx
+  FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(n_bigrams, 0) AS n_bigrams,
+  CAST(0 AS BIGINT) AS n_oov,
+  COALESCE(nll_fx, 0) AS nll_fx,
+  CASE WHEN COALESCE(n_bigrams, 0) > 0
+       THEN CAST(nll_fx AS DOUBLE) / CAST(n_bigrams * 4294967296 AS DOUBLE)
+       ELSE 0.0 END AS nll
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+)
+def _lm_bigram_nll(spark, sf_dir):
+    """CCNet-style LM quality signal: average bigram negative
+    log-likelihood under the corpus-trained MLE model, made
+    bit-reproducible by quantizing each ln(count) to a 2^-32
+    fixed-point BIGINT on a tiny distinct-count dim (libm ln,
+    bit-identical to DuckDB) and summing INTEGERS — no float is ever
+    summed, so partitioning cannot change the hash."""
+    from .operators.textstats import lm_bigram_nll
+
+    register_views(spark, sf_dir)
+    return lm_bigram_nll(spark.table("documents"))

@@ -17,6 +17,7 @@ __all__ = [
     "doc_fingerprints",
     "tfidf_top_terms",
     "bigram_collocations",
+    "lm_bigram_nll",
 ]
 
 # tiny per-language stopword lists for the n-gram-free heuristic
@@ -267,3 +268,158 @@ def bigram_collocations(
     return scored.orderBy(
         F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc()
     ).limit(top_n)
+
+
+#: fixed-point scale for quantized ln values (lm_bigram_nll): ln of a
+#: 2^31 count is ~21.5, so quantized values stay under 2^45 and a
+#: million-bigram document's integer sum stays far inside int64
+LN_FX_SCALE = 1 << 32
+
+
+def lm_bigram_nll(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model score — the CCNet-style
+    "LM perplexity" quality signal: how typical is this document of
+    the (training) corpus?  Returns ``(doc_id, n_bigrams, n_oov,
+    nll_fx, nll)`` where ``nll`` is the average negative
+    log-likelihood over the doc's scored bigrams under the MLE bigram
+    model ``p(w2|w1) = c(w1 w2) / c(w1 ·)`` trained on ``train``
+    (default: ``docs`` itself — self-scoring, where both filter tails
+    matter: LOW nll is boilerplate/templated spam, HIGH nll is
+    garbage).  With a separate ``train``, bigrams unseen in training
+    are counted in ``n_oov`` and excluded from the average (an MLE
+    model assigns them no finite likelihood).  Every doc gets a row;
+    docs with <2 tokens score 0.0 over 0 bigrams.
+
+    Bit-reproducibility (the PageRank/centroid fixed-point trick
+    composed with the TF-IDF libm trick): each distinct count ``c``
+    gets ``lq(c) = floor(ln(c) * 2^32)`` computed ONCE on a tiny
+    distinct-count dim via an Arrow batch calling libm ``math.log``
+    (bit-identical to DuckDB/Postgres ``ln``); a doc's
+    ``nll_fx = sum(cnt * (lq(c_ctx) - lq(c_bigram)))`` is then an
+    INTEGER sum — associative, partition-order-free — and ``nll`` is
+    one correctly-rounded division of exact integers.  The float
+    summation-order problem never arises because no float is ever
+    summed.
+
+    Plan shape: one Arrow scan emits per-doc distinct bigrams with
+    local counts (map-side combine, the boilerplate_ngrams pattern);
+    two hash aggregates train the model (bigram + context counts, the
+    same df-spread keys the collocation/decontam passes shuffle); the
+    count joins are plain equi-joins; the ln dim is distinct-count
+    sized (<= a few thousand rows) and broadcast.  Tokenization is
+    the dedup family's contract (lowercase, ASCII-``\\s+``).
+    """
+    import pandas as pd
+
+    from .repetition import _tokens
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids: list = []
+            w1s: list[str] = []
+            w2s: list[str] = []
+            cnts: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _tokens(text)
+                if len(toks) < 2:
+                    continue
+                c = Counter(zip(toks, toks[1:]))
+                for (a, b), n in c.items():
+                    ids.append(did)
+                    w1s.append(a)
+                    w2s.append(b)
+                    cnts.append(n)
+            yield pd.DataFrame(
+                {id_col: ids, "w1": w1s, "w2": w2s, "cnt": cnts}
+            )
+
+    id_type = dict(docs.dtypes)[id_col]
+    bg_schema = f"{id_col} {id_type}, w1 string, w2 string, cnt long"
+    bg = docs.select(id_col, text_col).mapInPandas(gen, schema=bg_schema)
+    if train is None:
+        # self-scoring: the scored bigram stream IS the training
+        # stream — checkpoint it once for its three consumers
+        bg = bg.localCheckpoint(eager=False)
+        train_bg = bg
+    else:
+        train_bg = train.select(id_col, text_col).mapInPandas(
+            gen, schema=bg_schema
+        )
+
+    cab = train_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c_ab"))
+    ca = train_bg.groupBy("w1").agg(F.sum("cnt").alias("c_a"))
+
+    scored = bg.join(cab, ["w1", "w2"], "left").join(ca, "w1", "left")
+
+    # ln over the DISTINCT count values only (the tfidf df-dim trick)
+    counts_dim = (
+        scored.select(F.col("c_ab").alias("c"))
+        .unionByName(scored.select(F.col("c_a").alias("c")))
+        .where(F.col("c").isNotNull())
+        .distinct()
+    )
+
+    def _lq(batches):
+        import math
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "c": pdf["c"],
+                    "lq": [
+                        int(math.floor(math.log(c) * LN_FX_SCALE))
+                        for c in pdf["c"]
+                    ],
+                }
+            )
+
+    lq_dim = counts_dim.mapInPandas(_lq, "c long, lq long").localCheckpoint(
+        eager=False
+    )  # consumed twice; rebuilding it re-runs the count-dim distinct
+    lq_ab = lq_dim.select(
+        F.col("c").alias("_c_ab"), F.col("lq").alias("_lq_ab")
+    )
+    lq_a = lq_dim.select(F.col("c").alias("_c_a"), F.col("lq").alias("_lq_a"))
+    scored = (
+        scored.join(
+            F.broadcast(lq_ab), F.col("c_ab") == F.col("_c_ab"), "left"
+        )
+        .drop("_c_ab")
+        .join(F.broadcast(lq_a), F.col("c_a") == F.col("_c_a"), "left")
+        .drop("_c_a")
+    )
+    oov = F.col("c_ab").isNull()
+    agg = scored.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(F.when(oov, F.col("cnt")).otherwise(F.lit(0))).alias("n_oov"),
+        F.sum(
+            F.when(oov, F.lit(0)).otherwise(
+                F.col("cnt") * (F.col("_lq_a") - F.col("_lq_ab"))
+            )
+        ).alias("nll_fx"),
+    )
+    n_scored = F.col("n_bigrams") - F.col("n_oov")
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.coalesce("nll_fx", F.lit(0)).alias("nll_fx"),
+            F.when(
+                F.coalesce(n_scored, F.lit(0)) > 0,
+                F.col("nll_fx").cast("double")
+                / (n_scored * F.lit(LN_FX_SCALE)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nll"),
+        )
+    )
