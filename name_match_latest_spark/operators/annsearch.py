@@ -691,19 +691,37 @@ def semantic_dedup(
     # survivor return — without this it re-executes three times
     # (caller releases via plans.caching.unpersist_tracked)
     lists = tracked_persist(ivf_assignments(embeddings, cents, 1, id_col, vec_col))
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("_v")
-    ).join(lists, "vec_id")
+    # norms precomputed ONCE per vector (the pair join would otherwise
+    # re-run the interpreted norm fold per CANDIDATE PAIR — 2/3 of the
+    # per-pair HOF work for the same bits: the oracle's
+    # sqrt(dot(v, v)) is this exact per-vector fold)
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            _to_double(F.col(vec_col)).alias("_v"),
+        )
+        .withColumn("_n", _norm(F.col("_v")))
+        .join(lists, "vec_id")
+    )
     a = e.select(
-        F.col("vec_id").alias("d1"), F.col("_v").alias("_v1"), "centroid_id"
+        F.col("vec_id").alias("d1"),
+        F.col("_v").alias("_v1"),
+        F.col("_n").alias("_n1"),
+        "centroid_id",
     )
     b = e.select(
-        F.col("vec_id").alias("d2"), F.col("_v").alias("_v2"), "centroid_id"
+        F.col("vec_id").alias("d2"),
+        F.col("_v").alias("_v2"),
+        F.col("_n").alias("_n2"),
+        "centroid_id",
     )
     dropped = (
         a.join(b, "centroid_id")
         .filter(F.col("d1") < F.col("d2"))
-        .withColumn("_cos", cosine_col(F.col("_v1"), F.col("_v2")))
+        .withColumn(
+            "_cos",
+            _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")),
+        )
         .filter(F.col("_cos") >= threshold)
         .select(F.col("d2").alias("vec_id"))
         .distinct()
