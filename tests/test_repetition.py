@@ -150,3 +150,49 @@ class TestRepetitionGate:
         # doc 1: dup 0.8 -> dropped;  doc 2: top bigram frac 1.0 -> dropped
         # docs 3,4,5: too short;  6: 5 unique toks kept;  7: kept
         assert kept == {0, 6, 7}
+
+
+class TestStreamingLegality:
+    """The per-doc quality ops are stateless Arrow scans (mapInPandas,
+    no aggregation), so they must run UNCHANGED on an unbounded stream
+    — a crawl firehose can be repetition-gated and classifier-scored
+    on ingest, with decisions identical to the batch pass."""
+
+    def test_stream_stats_and_score_equal_batch(self, spark, tmp_path):
+        from name_match_latest_spark.operators.inference import (
+            hashed_linear_score,
+            md5_fixed_weights,
+        )
+
+        docs = _df(spark).where(F.col("text").isNotNull())
+        src = str(tmp_path / "in")
+        docs.write.parquet(src)
+        w = md5_fixed_weights(64, "sw")
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        stats_s = token_repetition_stats(stream)
+        score_s = hashed_linear_score(stream, w, seed="ss")
+        assert stats_s.isStreaming and score_s.isStreaming
+
+        for name, sdf in (("st_stats", stats_s), ("st_score", score_s)):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", str(tmp_path / ("ck_" + name)))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        got_stats = sorted(
+            map(tuple, spark.sql("select * from st_stats").collect())
+        )
+        got_score = sorted(
+            map(tuple, spark.sql("select * from st_score").collect())
+        )
+        assert got_stats == sorted(
+            map(tuple, token_repetition_stats(docs).collect())
+        )
+        assert got_score == sorted(
+            map(tuple, hashed_linear_score(docs, w, seed="ss").collect())
+        )
+        assert len(got_stats) > 0
