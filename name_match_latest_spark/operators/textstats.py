@@ -349,20 +349,34 @@ def lm_bigram_nll(
         bg = bg.localCheckpoint(eager=False)
         train_bg = bg
     else:
-        train_bg = train.select(id_col, text_col).mapInPandas(
-            gen, schema=bg_schema
+        # two consumers (bigram + context counts): checkpoint or the
+        # train tokenizer pass runs twice
+        train_bg = (
+            train.select(id_col, text_col)
+            .mapInPandas(gen, schema=bg_schema)
+            .localCheckpoint(eager=False)
         )
 
-    cab = train_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c_ab"))
-    ca = train_bg.groupBy("w1").agg(F.sum("cnt").alias("c_a"))
+    # each count table feeds the scoring join AND the ln dim below
+    cab = (
+        train_bg.groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    ca = (
+        train_bg.groupBy("w1")
+        .agg(F.sum("cnt").alias("c_a"))
+        .localCheckpoint(eager=False)
+    )
 
     scored = bg.join(cab, ["w1", "w2"], "left").join(ca, "w1", "left")
 
     # ln over the DISTINCT count values only (the tfidf df-dim trick)
+    # — derived from the count tables, NOT from `scored` (whose
+    # lineage would re-execute both scoring joins just to list counts)
     counts_dim = (
-        scored.select(F.col("c_ab").alias("c"))
-        .unionByName(scored.select(F.col("c_a").alias("c")))
-        .where(F.col("c").isNotNull())
+        cab.select(F.col("c_ab").alias("c"))
+        .unionByName(ca.select(F.col("c_a").alias("c")))
         .distinct()
     )
 
