@@ -81,6 +81,7 @@ def main() -> None:
         "quality_linear_score",      # round 5: hashed-feature classifier
         "semantic_dedup",            # round 5: SemDeDup within-cell cosine
         "lm_bigram_nll",             # round 5: fixed-point LM perplexity
+        "bpe_merges",                # round 5: tokenizer merge learning (8 seq rounds)
         # graph_triangles is oracle+pytest-gated but NOT a headline
         # member: the sf0.1 co-supplier graph is near-complete (1000
         # nodes / 453,588 of 499,500 possible edges), so the triangle

@@ -2964,3 +2964,66 @@ def _lm_bigram_nll(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return lm_bigram_nll(spark.table("documents"))
+
+
+# --- BPE merge-table learning --------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled k-step BPE in SQL: each step extracts tokens from the
+    wrapped corpus state, counts adjacent pairs, picks the argmax as a
+    1-row CTE, and applies the merge with a literal replace whose
+    pattern is built from scalar subqueries — the data-dependent
+    iteration the Spark driver loop performs, replayed statically."""
+    parts = [
+        r"""WITH s0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+    x -> chr(2) || x || chr(3)), '') AS s
+  FROM documents)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f""",
+t{i} AS MATERIALIZED (
+  SELECT list_transform(list_filter(string_split(s, chr(3)), x -> x <> ''),
+                        x -> substr(x, 2)) AS tl
+  FROM {prev}),
+p{i} AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count FROM (
+    SELECT tl[i] AS w1, tl[i + 1] AS w2
+    FROM (SELECT tl, unnest(generate_series(1, greatest(len(tl) - 1, 0))) AS i
+          FROM t{i}))
+  GROUP BY w1, w2
+  ORDER BY pair_count DESC, w1 ASC, w2 ASC
+  LIMIT 1),
+s{i} AS MATERIALIZED (
+  SELECT replace(s,
+    chr(2) || (SELECT w1 FROM p{i}) || chr(3) ||
+    chr(2) || (SELECT w2 FROM p{i}) || chr(3),
+    chr(2) || (SELECT w1 FROM p{i}) || chr(1) ||
+    (SELECT w2 FROM p{i}) || chr(3)) AS s
+  FROM {prev})"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, w1, w2, pair_count FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@q("bpe_merges", _bpe_oracle(_BPE_MERGES))
+def _bpe_merges(spark, sf_dir):
+    """Tokenizer training: the first 8 BPE merges learned over the
+    corpus (canonical greedy left-to-right merge application, made
+    exact-by-construction via the wrapped-token replace — see
+    operators/bpe.py).  The oracle replays all 8 data-dependent
+    iterations as unrolled CTEs with scalar-subquery replace
+    patterns."""
+    from .operators.bpe import bpe_train
+
+    register_views(spark, sf_dir)
+    return bpe_train(spark.table("documents"), n_merges=_BPE_MERGES)

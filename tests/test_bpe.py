@@ -1,0 +1,92 @@
+"""BPE merge learning vs a pure-Python canonical reference learner:
+the wrapped-token replace must equal greedy token-list merging on
+every corpus, including the run/alternating cases where a naive
+space-joined replace under-merges."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from name_match_latest_spark.operators.bpe import (
+    JOIN,
+    bpe_merge_greedy,
+    bpe_train,
+)
+
+
+def py_bpe(texts, n_merges):
+    """Canonical reference learner over token LISTS (no strings)."""
+    corpus = [[t for t in s.lower().split() if t] for s in texts]
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = Counter(
+            p for toks in corpus for p in zip(toks, toks[1:])
+        )
+        if not counts:
+            break
+        # max count, ties by (w1, w2) ascending
+        (w1, w2), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, w1, w2, c))
+        corpus = [bpe_merge_greedy(toks, w1, w2) for toks in corpus]
+    return merges
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def _got(spark, texts, k):
+    return [
+        (r.step, r.w1, r.w2, r.pair_count)
+        for r in bpe_train(_df(spark, texts), n_merges=k)
+        .orderBy("step")
+        .collect()
+    ]
+
+
+class TestBpeTrain:
+    def test_matches_canonical_reference(self, spark):
+        texts = [
+            "the cat sat on the mat",
+            "the cat ate the cat food",
+            "on the mat sat a cat",
+        ]
+        assert _got(spark, texts, 5) == py_bpe(texts, 5)
+
+    def test_runs_merge_canonically(self, spark):
+        # 'a a a a' must yield TWO (a,a) occurrences merged in step 1
+        # (a space-joined replace would merge only one)
+        texts = ["a a a a", "a a a"]
+        got = _got(spark, texts, 2)
+        assert got == py_bpe(texts, 2)
+        assert got[0][1:] == ("a", "a", 5)  # 3 + 2 overlapping-counted
+        # after step 1: [aa, aa], [aa, a] -> top pair (aa, aa) or (aa, a)
+        assert got[1][1] == "a" + JOIN + "a"
+
+    def test_alternating_merges_canonically(self, spark):
+        texts = ["x y x y x y"]
+        got = _got(spark, texts, 2)
+        assert got == py_bpe(texts, 2)
+        assert got[0][1:] == ("x", "y", 3)
+        # step 1 merges ALL THREE (x,y) pairs -> step 2 pairs (xy, xy)
+        assert got[1][1:] == ("x" + JOIN + "y", "x" + JOIN + "y", 2)
+
+    def test_merged_symbols_recurse(self, spark):
+        texts = ["a b c a b c a b"]
+        got = _got(spark, texts, 3)
+        assert got == py_bpe(texts, 3)
+        assert got[0][1:3] == ("a", "b")
+        assert got[1][1] == "a" + JOIN + "b"  # (ab, c) next
+
+    def test_tie_break_lexicographic(self, spark):
+        texts = ["b c", "a c"]  # (b,c) and (a,c) both count 1
+        got = _got(spark, texts, 1)
+        assert got == py_bpe(texts, 1)
+        assert got[0][1:] == ("a", "c", 1)
+
+    def test_early_stop_no_pairs(self, spark):
+        assert _got(spark, ["solo", "", "x"], 4) == []
