@@ -3027,3 +3027,45 @@ def _bpe_merges(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return bpe_train(spark.table("documents"), n_merges=_BPE_MERGES)
+
+
+def _bpe_chain(k: int) -> str:
+    """The WITH-chain of _bpe_oracle without its final SELECT — the
+    s{k} corpus state is reusable by downstream queries."""
+    full = _bpe_oracle(k)
+    return full[: full.rindex("\nSELECT CAST(1 AS INT)")]
+
+
+@q(
+    "bpe_tokenize",
+    _bpe_chain(_BPE_MERGES)
+    + f"""
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(list_transform(
+        list_filter(string_split(s, chr(3)), x -> x <> ''),
+        x -> substr(x, 2))) AS tok
+      FROM s{_BPE_MERGES})
+GROUP BY tok
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+)
+def _bpe_tokenize(spark, sf_dir):
+    """Tokenizer round-trip: learn 8 merges, APPLY them to the corpus
+    (n chained codegen'd replaces — one projection, zero shuffles,
+    zero Python), return the top-20 token histogram.  The oracle
+    extracts tokens from the same unrolled s8 corpus state the
+    training oracle built."""
+    from .operators.bpe import bpe_apply, bpe_train
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    toked = bpe_apply(docs, merges)
+    return (
+        toked.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_corpus_state", "bpe_merge_greedy"]
+__all__ = ["bpe_train", "bpe_apply", "bpe_corpus_state", "bpe_merge_greedy"]
 
 SOT, EOT, JOIN = "\x02", "\x03", "\x01"
 
@@ -136,3 +136,38 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, w1 string, w2 string, pair_count long"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge table: ``(id, tokens)`` where
+    ``tokens`` is the array after applying every merge in step order
+    (each one canonical greedy, same replace-on-wrapped-state trick as
+    training).  ``merges`` is the DataFrame ``bpe_train`` returned (or
+    any iterable of ``(step, w1, w2)``-prefixed rows).  The merge
+    table is tiny (vocab-sized) — it collects to the driver and the
+    whole application compiles to ``n_merges`` chained codegen'd
+    ``replace`` calls: one projection, zero shuffles, zero Python —
+    embarrassingly parallel over any corpus size."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("step").collect()
+        table = [(r.w1, r.w2) for r in rows]
+    else:
+        table = [(r[1], r[2]) for r in sorted(merges, key=lambda r: r[0])]
+    s = bpe_corpus_state(docs, id_col, text_col)
+    col = F.col("s")
+    for w1, w2 in table:
+        col = F.replace(
+            col,
+            F.lit(SOT + w1 + EOT + SOT + w2 + EOT),
+            F.lit(SOT + w1 + JOIN + w2 + EOT),
+        )
+    toks = F.transform(
+        F.filter(F.split(col, EOT), lambda t: t != ""),
+        lambda t: F.substring(t, 2, 2_000_000_000),
+    )
+    return s.select("id", toks.alias("tokens"))

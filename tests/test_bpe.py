@@ -90,3 +90,42 @@ class TestBpeTrain:
 
     def test_early_stop_no_pairs(self, spark):
         assert _got(spark, ["solo", "", "x"], 4) == []
+
+
+class TestBpeApply:
+    def test_apply_equals_reference_merging(self, spark):
+        from name_match_latest_spark.operators.bpe import bpe_apply
+
+        texts = [
+            "the cat sat on the mat",
+            "a a a a x y x y",
+            "the cat ate",
+            "",
+        ]
+        merges = bpe_train(_df(spark, texts), n_merges=4)
+        got = {
+            r.id: list(r.tokens)
+            for r in bpe_apply(_df(spark, texts), merges).collect()
+        }
+        # reference: apply the same merges with the token-list greedy
+        table = [
+            (r.step, r.w1, r.w2)
+            for r in merges.orderBy("step").collect()
+        ]
+        for i, t in enumerate(texts):
+            toks = [x for x in t.lower().split() if x]
+            for _, w1, w2 in table:
+                toks = bpe_merge_greedy(toks, w1, w2)
+            assert got[i] == toks, (i, got[i], toks)
+        assert got[3] == []  # empty doc -> empty token array
+
+    def test_apply_accepts_plain_rows(self, spark):
+        from name_match_latest_spark.operators.bpe import bpe_apply
+
+        out = {
+            r.id: list(r.tokens)
+            for r in bpe_apply(
+                _df(spark, ["x y z"]), [(1, "x", "y")]
+            ).collect()
+        }
+        assert out == {0: ["x" + JOIN + "y", "z"]}
