@@ -129,3 +129,39 @@ class TestBpeApply:
             ).collect()
         }
         assert out == {0: ["x" + JOIN + "y", "z"]}
+
+
+class TestStreamingLegality:
+    """bpe_apply is a pure Column projection (wrap + n replaces +
+    split), so a learned merge table tokenizes an unbounded stream
+    UNCHANGED — the ingest-time tokenization story."""
+
+    def test_stream_apply_equals_batch(self, spark, tmp_path):
+        from name_match_latest_spark.operators.bpe import bpe_apply
+
+        texts = ["the cat sat on the mat", "a a a a", "the cat ate"]
+        docs = _df(spark, texts)
+        merges = bpe_train(docs, n_merges=3)
+        table = [(r.step, r.w1, r.w2) for r in merges.collect()]
+
+        src = str(tmp_path / "in")
+        docs.write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        toked = bpe_apply(stream, table)
+        assert toked.isStreaming
+        q = (
+            toked.writeStream.format("memory")
+            .queryName("st_bpe")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.id: list(r.tokens)
+            for r in spark.sql("select * from st_bpe").collect()
+        }
+        want = {
+            r.id: list(r.tokens) for r in bpe_apply(docs, table).collect()
+        }
+        assert got == want and len(got) == 3
