@@ -2971,12 +2971,14 @@ def _lm_bigram_nll(spark, sf_dir):
 _BPE_MERGES = 8
 
 
-def _bpe_oracle(k: int) -> str:
-    """Unrolled k-step BPE in SQL: each step extracts tokens from the
-    wrapped corpus state, counts adjacent pairs, picks the argmax as a
-    1-row CTE, and applies the merge with a literal replace whose
-    pattern is built from scalar subqueries — the data-dependent
-    iteration the Spark driver loop performs, replayed statically."""
+def _bpe_chain(k: int) -> str:
+    """The WITH-chain of the unrolled k-step BPE oracle: each step
+    extracts tokens from the wrapped corpus state, counts adjacent
+    pairs, picks the argmax as a 1-row MATERIALIZED CTE, and applies
+    the merge with a literal replace whose pattern is built from
+    scalar subqueries — the data-dependent iteration the Spark driver
+    loop performs, replayed statically.  Ends with the s{k} corpus
+    state, reusable by downstream queries (bpe_tokenize)."""
     parts = [
         r"""WITH s0 AS MATERIALIZED (
   SELECT array_to_string(list_transform(
@@ -3008,11 +3010,16 @@ s{i} AS MATERIALIZED (
     (SELECT w2 FROM p{i}) || chr(3)) AS s
   FROM {prev})"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(k: int) -> str:
+    """_bpe_chain plus the merge-table final SELECT."""
     finals = " UNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS step, w1, w2, pair_count FROM p{i}"
         for i in range(1, k + 1)
     )
-    return "".join(parts) + "\n" + finals
+    return _bpe_chain(k) + "\n" + finals
 
 
 @q("bpe_merges", _bpe_oracle(_BPE_MERGES))
@@ -3027,13 +3034,6 @@ def _bpe_merges(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return bpe_train(spark.table("documents"), n_merges=_BPE_MERGES)
-
-
-def _bpe_chain(k: int) -> str:
-    """The WITH-chain of _bpe_oracle without its final SELECT — the
-    s{k} corpus state is reusable by downstream queries."""
-    full = _bpe_oracle(k)
-    return full[: full.rindex("\nSELECT CAST(1 AS INT)")]
 
 
 @q(

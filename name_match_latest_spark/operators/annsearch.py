@@ -649,10 +649,11 @@ def lsh_bucket_topk(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float,
-    n_centroids: int = 16,
+    n_centroids: int | str = "auto",
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: coarse-cluster the
     embedding corpus (the IVF quantizer), compare pairs ONLY within a
@@ -664,33 +665,50 @@ def semantic_dedup(
 
     Scale shape (the SemDeDup design point): the all-pairs comparison
     is confined WITHIN an inverted list, so total pair work is
-    ``sum(|list|^2)``, never O(N^2) — at 10^12 rows pick
-    ``n_centroids ~ N / 4096`` so each list holds ~4k vectors
-    (~8M scored pairs per list, an executor-sized task), and the
-    pair join is an equi-join on centroid_id (a blocking key exactly
-    like the person matcher's).  A hot list (skewed quantizer cell)
-    is split by raising n_centroids or running ``refine_iters`` Lloyd
-    steps — better-centered cells at the same budget.  Centroids are
+    ``sum(|list|^2)``, never O(N^2).  ``n_centroids="auto"`` (the
+    default) SIZES the quantizer from the corpus:
+    ``max(16, ceil(N / target_cell_rows))`` so each list holds
+    ~``target_cell_rows`` vectors (~8M scored pairs per list at the
+    4096 default — an executor-sized task) no matter how big the
+    corpus is; a fixed small ``n_centroids`` on a 10M-vector corpus
+    would otherwise mean ~625k-row cells and a ~3e12-pair join (same
+    unguarded-default class as the pre-round-2 token-Jaccard, hence
+    guarded by construction like ``max_df="auto"``).  The pair join
+    is an equi-join on centroid_id (a blocking key exactly like the
+    person matcher's).  A hot list (skewed quantizer cell) is split
+    by raising n_centroids or running ``refine_iters`` Lloyd steps —
+    better-centered cells at the same budget.  Centroids are
     md5-sampled (:func:`ivf_centroids`), so the whole decision
-    replays bit-identically in any engine.
+    replays bit-identically in any engine for a GIVEN n_centroids
+    (the driver oracle pins it explicitly).
 
     Cross-cluster near-dups are missed by construction — the recall
     trade SemDeDup makes; the banded-LSH ``embedding_near_dups`` is
     the complementary candidate generator when recall matters more
     than the strict within-cell cost bound.
     """
-    from ..plans.caching import tracked_persist
+    if n_centroids == "auto":
+        import math
 
+        n_centroids = max(
+            16, math.ceil(embeddings.count() / target_cell_rows)
+        )
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     if refine_iters > 0:
         cents = kmeans_refine(
             embeddings, cents, iters=refine_iters, id_col=id_col, vec_col=vec_col
         )
-    # persisted: the cell assignment (a corpus-wide window over the
-    # broadcast-centroid scores) feeds BOTH pair-join sides and the
-    # survivor return — without this it re-executes three times
-    # (caller releases via plans.caching.unpersist_tracked)
-    lists = tracked_persist(ivf_assignments(embeddings, cents, 1, id_col, vec_col))
+    # materialized once: the cell assignment (a corpus-wide window
+    # over the broadcast-centroid scores) feeds BOTH pair-join sides
+    # and the survivor return — without this it re-executes three
+    # times.  localCheckpoint, not persist: checkpoint blocks are
+    # released by the ContextCleaner when the frame is garbage-
+    # collected, so library callers don't leak pinned storage per
+    # call (the dedup.py:440 discipline — a tracked_persist here had
+    # no release point inside the operator)
+    lists = ivf_assignments(
+        embeddings, cents, 1, id_col, vec_col
+    ).localCheckpoint(eager=False)
     # norms precomputed ONCE per vector (the pair join would otherwise
     # re-run the interpreted norm fold per CANDIDATE PAIR — 2/3 of the
     # per-pair HOF work for the same bits: the oracle's

@@ -63,7 +63,11 @@ def bpe_corpus_state(
 ) -> DataFrame:
     """``(id, s)``: the wrapped-token corpus state S0 — lowercase
     ASCII-``\\s+`` tokens (the dedup family's contract), each wrapped
-    ``\\x02tok\\x03``, concatenated.  Pure codegen'd expression."""
+    ``\\x02tok\\x03``, concatenated.  Pure codegen'd expression.
+    Null text coalesces to the EMPTY state (zero tokens), the family
+    contract — a propagated NULL would crash ``bpe_train``'s Arrow
+    pass and make ``bpe_apply`` emit ``tokens=NULL`` rows that a
+    downstream explode silently drops."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
@@ -71,7 +75,8 @@ def bpe_corpus_state(
         toks, lambda t: F.concat(F.lit(SOT), t, F.lit(EOT))
     )
     return docs.select(
-        F.col(id_col).alias("id"), F.array_join(wrapped, "").alias("s")
+        F.col(id_col).alias("id"),
+        F.coalesce(F.array_join(wrapped, ""), F.lit("")).alias("s"),
     )
 
 

@@ -74,7 +74,10 @@ def _tokens(text) -> list[str]:
 
 
 def token_repetition_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compute_bigrams: bool = True,
 ) -> DataFrame:
     """Per-doc repetition features; EVERY input doc gets a row (an
     empty/null text is all-zero counts with 0.0 ratios — the gate can
@@ -85,7 +88,13 @@ def token_repetition_stats(
     max over grams of ``count * len(gram)`` (bigram length includes
     its joining space).  The ``*_frac`` columns divide by
     ``n_token_chars`` (total characters across all token occurrences
-    — a whitespace-normalization-free denominator)."""
+    — a whitespace-normalization-free denominator).
+
+    ``compute_bigrams=False`` skips the bigram Counter — the most
+    expensive per-doc work in this scan — and emits PLACEHOLDER zeros
+    in the two bigram columns (schema unchanged); the gate sets this
+    when its bigram rule is disabled so a dup-frac-only pass stays
+    scan-bandwidth-bound."""
     import pandas as pd
     from collections import Counter
 
@@ -101,7 +110,7 @@ def token_repetition_stats(
                 uni = Counter(toks)
                 n_chars = sum(c * len(t) for t, c in uni.items())
                 top_tok = max(c * len(t) for t, c in uni.items())
-                if n >= 2:
+                if compute_bigrams and n >= 2:
                     big = Counter(
                         f"{a} {b}" for a, b in zip(toks, toks[1:])
                     )
@@ -194,8 +203,16 @@ def repetition_quality_gate(
     text_col: str = "text",
 ) -> DataFrame:
     """Documents passing ALL repetition rules, with the stats that
-    admitted them — a pure predicate over the single-scan stats."""
-    stats = token_repetition_stats(docs, id_col=id_col, text_col=text_col)
+    admitted them — a pure predicate over the single-scan stats.
+    When the bigram rule is disabled (threshold >= 1.0, which every
+    doc passes), the stats scan skips the bigram Counter entirely and
+    the bigram columns are placeholder zeros."""
+    stats = token_repetition_stats(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        compute_bigrams=max_top_bigram_frac < 1.0,
+    )
     return stats.where(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("dup_token_frac") <= max_dup_token_frac)

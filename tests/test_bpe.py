@@ -165,3 +165,28 @@ class TestStreamingLegality:
             r.id: list(r.tokens) for r in bpe_apply(docs, table).collect()
         }
         assert got == want and len(got) == 3
+
+
+class TestNullText:
+    """Null-text docs are the EMPTY corpus state (review finding):
+    training must not crash and apply must emit [], not NULL."""
+
+    def test_train_survives_null_text(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b a b"), (1, None)], "doc_id long, text string"
+        )
+        got = [
+            (r.step, r.w1, r.w2, r.pair_count)
+            for r in bpe_train(df, n_merges=1).collect()
+        ]
+        assert got == [(1, "a", "b", 2)]
+
+    def test_apply_empty_not_null_for_null_text(self, spark):
+        from name_match_latest_spark.operators.bpe import bpe_apply
+
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, None)], "doc_id long, text string"
+        )
+        out = {r.id: r.tokens for r in bpe_apply(df, [(1, "a", "b")]).collect()}
+        assert out[1] == []  # not None
+        assert out[0] == ["a" + JOIN + "b"]

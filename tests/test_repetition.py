@@ -196,3 +196,30 @@ class TestStreamingLegality:
             map(tuple, hashed_linear_score(docs, w, seed="ss").collect())
         )
         assert len(got_stats) > 0
+
+
+class TestBigramSkip:
+    def test_gate_skips_bigram_work_when_rule_disabled(self, spark):
+        """compute_bigrams=False emits placeholder zeros; the gate
+        with threshold 1.0 must produce the same KEPT SET as the full
+        stats path (review finding: don't pay the bigram Counter for
+        an always-pass rule)."""
+        stats = token_repetition_stats(_df(spark), compute_bigrams=False)
+        got = {r.doc_id: (r.top_bigram_chars, r.top_bigram_frac)
+               for r in stats.collect()}
+        assert all(v == (0, 0.0) for v in got.values())
+        kept_skip = {
+            r.doc_id
+            for r in repetition_quality_gate(
+                _df(spark), min_tokens=5, max_dup_token_frac=0.5,
+                max_top_bigram_frac=1.0,
+            ).collect()
+        }
+        kept_full = {
+            r.doc_id
+            for r in repetition_quality_gate(
+                _df(spark), min_tokens=5, max_dup_token_frac=0.5,
+                max_top_bigram_frac=1.0000001,
+            ).collect()
+        }
+        assert kept_skip == kept_full

@@ -72,3 +72,39 @@ class TestSemanticDedup:
         vecs = rng.normal(size=(15, 6))
         out = semantic_dedup(_embs(spark, vecs), threshold=1.1, n_centroids=3)
         assert out.count() == 15
+
+
+class TestAutoCentroids:
+    """n_centroids='auto' sizes the quantizer from the corpus
+    (review finding: a fixed default is the unguarded-quadratic
+    class); explicit values still pin the oracle."""
+
+    def test_auto_equals_explicit_at_computed_size(self, spark):
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(200, 8))
+        auto = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    _embs(spark, vecs), threshold=0.9, target_cell_rows=10
+                ).collect(),
+            )
+        )
+        # max(16, ceil(200/10)) = 20 explicit centroids
+        explicit = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    _embs(spark, vecs), threshold=0.9, n_centroids=20
+                ).collect(),
+            )
+        )
+        assert auto == explicit
+        assert len({c for _, c in auto}) > 16  # really used >16 cells
+
+    def test_auto_floor_is_16(self, spark):
+        rng = np.random.default_rng(12)
+        vecs = rng.normal(size=(30, 6))
+        out = semantic_dedup(_embs(spark, vecs), threshold=1.1)
+        assert len({r.centroid_id for r in out.collect()}) <= 16
+        assert out.count() == 30
