@@ -74,6 +74,7 @@ def main() -> None:
         "bigram_collocations",  # round 5: lift-ranked collocations
         "corpus_stratified_sample",  # round 5: md5-bucket downsample
         "corpus_split_assign",       # round 5: train/val/test ranges
+        "corpus_temperature_sample", # round 5: p^alpha language rebalance
         "split_decontam",            # round 5: n-gram contamination
         "embedding_label_centroids", # round 5: fixed-point centroids
         "token_repetition",          # round 5: Gopher repetition stats

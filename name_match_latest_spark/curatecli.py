@@ -6,7 +6,8 @@ split, decontaminated training corpus.
         [--min-tokens N]                  quality floor (drop shorter docs)
         [--max-dup-frac 0.55]             repetition gate: max duplicate-token
         [--max-bigram-frac 0.12]            fraction / top-bigram char fraction
-        [--sample en=0.5,de=1.0] [--default-rate 0.1] [--seed cs42]
+        [--sample en=0.5,de=1.0 | --temperature-budget 0.5]
+        [--default-rate 0.1] [--seed cs42]
         [--split train=0.8,val=0.1,test=0.1]
         [--decontam-ngram 3 | --no-decontam]
 
@@ -53,6 +54,10 @@ def run(argv: list[str] | None = None) -> int:
                    help="drop docs whose top-bigram character fraction exceeds this")
     p.add_argument("--sample", default=None,
                    help="per-lang keep rates, e.g. en=0.5,de=1.0")
+    p.add_argument("--temperature-budget", type=float, default=None,
+                   help="alpha=0.5 temperature rebalance to this corpus "
+                        "fraction (data-derived per-lang rates; "
+                        "mutually exclusive with --sample)")
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--seed", default="cs42")
     p.add_argument("--split", default="train=0.8,val=0.1,test=0.1")
@@ -94,10 +99,18 @@ def run(argv: list[str] | None = None) -> int:
         n_tok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
         docs = docs.where(n_tok >= args.min_tokens)
 
+    if args.sample and args.temperature_budget is not None:
+        p.error("--sample and --temperature-budget are mutually exclusive")
     if args.sample:
         docs = stratified_sample(
             docs, "lang", _parse_rates(args.sample), "doc_id",
             seed=args.seed, default_rate=args.default_rate,
+        )
+    elif args.temperature_budget is not None:
+        from .operators.sampling import temperature_sample
+
+        docs = temperature_sample(
+            docs, args.temperature_budget, seed=args.seed
         )
 
     weights = _parse_rates(args.split)

@@ -3069,3 +3069,56 @@ def _bpe_tokenize(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+# --- temperature (language-rebalancing) sampling -------------------------------
+
+_TEMP_SEED = "temp5"
+
+
+def _temperature_oracle() -> str:
+    """The whole data-derived decision replayed in SQL: stratum
+    counts, sqrt-quantized integer shares, integer normalizer, the
+    two-step double division, and the md5-bucket predicate."""
+    b = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", _TEMP_SEED)
+    return f"""
+WITH lc AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM lc),
+ql AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1048576) AS BIGINT) AS q_fx
+  FROM lc CROSS JOIN tot),
+dd AS (SELECT CAST(sum(q_fx) AS BIGINT) AS d_fx FROM ql),
+thr AS (
+  SELECT lang,
+    CAST(floor(LEAST(1.0,
+        CAST(CAST(floor(0.5 * total) AS BIGINT) * q_fx AS DOUBLE)
+        / CAST(n * d_fx AS DOUBLE)) * 4294967296.0) AS BIGINT) AS t
+  FROM ql CROSS JOIN dd CROSS JOIN tot)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE {b} < thr.t
+"""
+
+
+@q("corpus_temperature_sample", _temperature_oracle())
+def _corpus_temperature_sample(spark, sf_dir):
+    """Temperature-rebalanced downsample (alpha=0.5, budget 50%): the
+    multilingual LM sampling rule p_l^alpha that upweights
+    low-resource languages.  The per-language rates are DATA-derived,
+    yet the whole decision is bit-replayable: sqrt is IEEE
+    correctly-rounded everywhere, shares are quantized to 2^-20
+    integers, the normalizer is an integer sum, and the rate is a
+    two-step double division both engines perform identically."""
+    from .operators.sampling import temperature_sample
+
+    register_views(spark, sf_dir)
+    return temperature_sample(
+        spark.table("documents").select("doc_id", "lang"),
+        budget_frac=0.5,
+        alpha=0.5,
+        seed=_TEMP_SEED,
+    )

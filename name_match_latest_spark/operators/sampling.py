@@ -27,6 +27,8 @@ __all__ = [
     "stratified_sample",
     "split_assign",
     "split_bounds",
+    "temperature_sample",
+    "temperature_thresholds",
 ]
 
 _B32 = 1 << 32
@@ -123,3 +125,83 @@ def split_assign(
     for name, ub in reversed(bounds[:-1]):
         expr = F.when(bucket < F.lit(ub), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+#: quantization scale for the temperature sampler's per-stratum
+#: weights: floor(p^alpha * 2^20) keeps every product in the rate
+#: formula inside int64 up to ~10^9-row strata
+TEMP_Q_SCALE = 1 << 20
+
+
+def temperature_thresholds(
+    counts: dict, budget_frac: float, alpha: float = 0.5
+) -> dict:
+    """Per-stratum integer keep-thresholds for temperature sampling
+    (the multilingual LM rebalancing rule: sample stratum ``l`` with
+    probability ∝ ``p_l^alpha`` — alpha<1 upweights low-resource
+    strata).  Given stratum sizes ``n_l``: target share
+    ``q_l ∝ (n_l/N)^alpha``, budget ``B = floor(budget_frac * N)``,
+    keep rate ``r_l = min(1, B*q_l / n_l)``; strata that cap at rate 1
+    under-fill the budget (no iterative reallocation — deterministic
+    and replayable beats budget-exact here).
+
+    Exactness: ``q`` is quantized to ``floor(p^alpha * 2^20)``
+    integers, the normalizer is an INTEGER sum (order-free), and the
+    rate is one division of two ints EACH cast to double first (two
+    correctly-rounded steps any engine reproduces — NOT Python's
+    exact-rational int/int division, which differs above 2^53).  With
+    the default ``alpha=0.5`` the power is ``sqrt`` — correctly
+    rounded by IEEE in every engine, so the whole decision is
+    bit-replayable in SQL; other alphas go through ``pow``, which is
+    near-correctly-rounded but not an exactness contract."""
+    import math
+
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return {}
+    budget = math.floor(budget_frac * n_total)
+    q_fx = {}
+    for stratum, n in counts.items():
+        p = n / n_total
+        root = math.sqrt(p) if alpha == 0.5 else p**alpha
+        q_fx[stratum] = math.floor(root * TEMP_Q_SCALE)
+    d_fx = sum(q_fx.values())
+    out = {}
+    for stratum, n in counts.items():
+        r = min(
+            1.0, float(budget * q_fx[stratum]) / float(n * d_fx)
+        )
+        out[stratum] = math.floor(r * _B32)
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget_frac: float,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep rows by temperature-rebalanced per-stratum rates (see
+    :func:`temperature_thresholds`): one small groupBy to learn the
+    stratum sizes (collected — strata are languages/sources, a tiny
+    dim), then the same codegen'd md5-bucket scan filter as
+    ``stratified_sample``.  NULL strata are dropped (no size to
+    rebalance by).  Decisions are md5-stable: rerunning over a grown
+    corpus keeps every previously-kept row whose stratum rate did not
+    shrink."""
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    thresholds = temperature_thresholds(counts, budget_frac, alpha)
+    thr: Column = F.lit(0)
+    for stratum in sorted(thresholds):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(thresholds[stratum])
+        ).otherwise(thr)
+    return df.where(hash_bucket32(F.col(key_col), seed) < thr)

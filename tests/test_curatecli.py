@@ -107,3 +107,34 @@ def test_dup_frac_alone_keeps_token_floor_off(spark, tmp_path, capsys, docs_path
     out = str(tmp_path / "od")
     s = _run(capsys, [docs_path, out, "--max-dup-frac", "1.0", "--no-decontam"])
     assert s["n_kept"] == 500  # dup frac <= 1.0 always; no floor applied
+
+
+def test_temperature_budget_flag(spark, tmp_path, capsys, docs_path):
+    """--temperature-budget routes through temperature_sample; kept
+    set equals the operator's, and it upweights rare languages."""
+    from name_match_latest_spark.operators.sampling import temperature_sample
+
+    out = str(tmp_path / "ot")
+    s = _run(capsys, [docs_path, out, "--temperature-budget", "0.5",
+                      "--seed", "t9", "--no-decontam"])
+    expect = {
+        r.doc_id
+        for r in temperature_sample(
+            spark.read.parquet(docs_path), 0.5, seed="t9"
+        ).collect()
+    }
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(out + "/corpus").select("doc_id").collect()
+    }
+    assert kept == expect and 0 < s["n_kept"] < 500
+
+
+def test_sample_and_temperature_mutually_exclusive(spark, docs_path, tmp_path):
+    import pytest
+
+    from name_match_latest_spark.curatecli import run
+
+    with pytest.raises(SystemExit):
+        run([docs_path, str(tmp_path / "x"), "--sample", "en=0.5",
+             "--temperature-budget", "0.5"])

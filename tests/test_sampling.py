@@ -223,3 +223,71 @@ class TestStreamingLegality:
             ).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestTemperatureSample:
+    """Temperature rebalancing vs a pure-Python replica of the
+    quantized-sqrt threshold arithmetic."""
+
+    def _docs(self, spark):
+        rows = [
+            (i, "en" if i % 10 < 7 else ("de" if i % 10 < 9 else "fr"))
+            for i in range(1000)
+        ] + [(1000, None)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_matches_python_replica(self, spark):
+        import math
+
+        from name_match_latest_spark.operators.sampling import (
+            temperature_sample,
+            temperature_thresholds,
+        )
+
+        df = self._docs(spark)
+        kept = {
+            r.doc_id
+            for r in temperature_sample(
+                df, budget_frac=0.4, seed="tt"
+            ).collect()
+        }
+        counts = {"en": 700, "de": 200, "fr": 100}
+        thr = temperature_thresholds(counts, 0.4)
+        expect = set()
+        for i in range(1000):
+            lang = "en" if i % 10 < 7 else ("de" if i % 10 < 9 else "fr")
+            if py_bucket(i, "tt") < thr[lang]:
+                expect.add(i)
+        assert kept == expect
+        assert 1000 not in kept  # NULL stratum dropped
+
+    def test_low_resource_upweighted(self, spark):
+        from name_match_latest_spark.operators.sampling import (
+            temperature_thresholds,
+        )
+
+        thr = temperature_thresholds({"en": 700, "de": 200, "fr": 100}, 0.4)
+        # alpha=0.5 keep RATES: rarer strata sampled at higher rates
+        assert thr["fr"] > thr["de"] > thr["en"]
+
+    def test_alpha_one_is_proportional(self, spark):
+        from name_match_latest_spark.operators.sampling import (
+            temperature_thresholds,
+        )
+
+        thr = temperature_thresholds(
+            {"en": 700, "de": 200, "fr": 100}, 0.4, alpha=1.0
+        )
+        # p^1 shares reproduce the input distribution: every stratum
+        # keeps ~budget_frac (equal thresholds up to quantization)
+        vals = sorted(thr.values())
+        assert vals[-1] - vals[0] <= (1 << 32) // 100_000  # within ~1e-5
+
+    def test_rate_caps_at_one(self, spark):
+        from name_match_latest_spark.operators.sampling import (
+            temperature_thresholds,
+        )
+
+        # tiny stratum at high budget: B*q/n > 1 -> rate capped
+        thr = temperature_thresholds({"en": 990, "fr": 10}, 0.9)
+        assert thr["fr"] == 1 << 32
