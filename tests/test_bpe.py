@@ -190,3 +190,55 @@ class TestNullText:
         out = {r.id: r.tokens for r in bpe_apply(df, [(1, "a", "b")]).collect()}
         assert out[1] == []  # not None
         assert out[0] == ["a" + JOIN + "b"]
+
+
+class TestReplaceGreedyEquivalenceFuzz:
+    """Property fuzz of the core claim: on the wrapped representation,
+    non-overlapping left-to-right string replace == canonical
+    single-pass greedy token-list merge, for ARBITRARY token sequences
+    and ARBITRARY merge pairs (including runs, alternations, and
+    pairs containing the \\x01 joiner from earlier merges).  Pure
+    Python (the Spark/DuckDB engines share these exact replace
+    semantics — pinned by the oracle and TestBpeTrain)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    toks_st = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=2), min_size=0, max_size=30
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(toks=toks_st, w1=st.text(alphabet="ab", min_size=1, max_size=2),
+           w2=st.text(alphabet="ab", min_size=1, max_size=2))
+    def test_replace_equals_greedy(self, toks, w1, w2):
+        from name_match_latest_spark.operators.bpe import EOT, JOIN, SOT
+
+        s = "".join(SOT + t + EOT for t in toks)
+        pat = SOT + w1 + EOT + SOT + w2 + EOT
+        rep = SOT + w1 + JOIN + w2 + EOT
+        merged_str = [t[1:] for t in s.replace(pat, rep).split(EOT) if t]
+        assert merged_str == bpe_merge_greedy(toks, w1, w2)
+
+    @settings(max_examples=60, deadline=None)
+    @given(toks=toks_st, st_data=st.data())
+    def test_chained_merges_equal_greedy(self, toks, st_data):
+        """Several successive merges (pairs drawn from the CURRENT
+        symbol sequence, so later pairs contain joined symbols) stay
+        equivalent under chaining — the bpe_apply composition."""
+        from hypothesis import strategies as st
+
+        from name_match_latest_spark.operators.bpe import EOT, JOIN, SOT
+
+        s = "".join(SOT + t + EOT for t in toks)
+        cur = list(toks)
+        for _ in range(3):
+            if len(cur) < 2:
+                break
+            pairs = sorted(set(zip(cur, cur[1:])))
+            w1, w2 = st_data.draw(st.sampled_from(pairs))
+            s = s.replace(
+                SOT + w1 + EOT + SOT + w2 + EOT, SOT + w1 + JOIN + w2 + EOT
+            )
+            cur = bpe_merge_greedy(cur, w1, w2)
+            assert [t[1:] for t in s.split(EOT) if t] == cur
