@@ -3088,8 +3088,8 @@ WITH lc AS (
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM lc),
 ql AS (
   SELECT lang, n,
-         CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
-                    * 1048576) AS BIGINT) AS q_fx
+         GREATEST(1, CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1048576) AS BIGINT)) AS q_fx
   FROM lc CROSS JOIN tot),
 dd AS (SELECT CAST(sum(q_fx) AS BIGINT) AS d_fx FROM ql),
 thr AS (

@@ -156,6 +156,8 @@ def temperature_thresholds(
     near-correctly-rounded but not an exactness contract."""
     import math
 
+    if not 0.0 <= budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in [0, 1], got {budget_frac}")
     n_total = sum(counts.values())
     if n_total == 0:
         return {}
@@ -164,7 +166,11 @@ def temperature_thresholds(
     for stratum, n in counts.items():
         p = n / n_total
         root = math.sqrt(p) if alpha == 0.5 else p**alpha
-        q_fx[stratum] = math.floor(root * TEMP_Q_SCALE)
+        # floor(1) for a PRESENT stratum: below p ~ 2^-40 the
+        # quantized share would hit 0 and silently drop an ultra-rare
+        # language entirely — the opposite of what temperature
+        # sampling is for (the oracle applies the same GREATEST)
+        q_fx[stratum] = max(1, math.floor(root * TEMP_Q_SCALE))
     d_fx = sum(q_fx.values())
     out = {}
     for stratum, n in counts.items():

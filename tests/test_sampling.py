@@ -291,3 +291,25 @@ class TestTemperatureSample:
         # tiny stratum at high budget: B*q/n > 1 -> rate capped
         thr = temperature_thresholds({"en": 990, "fr": 10}, 0.9)
         assert thr["fr"] == 1 << 32
+
+    def test_ultra_rare_stratum_never_zeroed(self, spark):
+        from name_match_latest_spark.operators.sampling import (
+            temperature_thresholds,
+        )
+
+        # p < 2^-40: quantized share floors at 1, not 0 — a present
+        # stratum must never be silently dropped
+        thr = temperature_thresholds(
+            {"en": (1 << 41), "xx": 1}, budget_frac=0.5
+        )
+        assert thr["xx"] > 0
+
+    def test_budget_frac_validated(self, spark):
+        import pytest
+
+        from name_match_latest_spark.operators.sampling import (
+            temperature_thresholds,
+        )
+
+        with pytest.raises(ValueError):
+            temperature_thresholds({"en": 10}, budget_frac=1.5)
