@@ -3122,3 +3122,72 @@ def _corpus_temperature_sample(spark, sf_dir):
         alpha=0.5,
         seed=_TEMP_SEED,
     )
+
+
+# --- end-to-end curation pipeline (capstone composition) ----------------------
+
+
+def _curation_pipeline_oracle() -> str:
+    """The full chain as ONE SQL program: repetition gate ->
+    temperature rebalance whose rates derive from the GATED subset
+    (the subtle recomputation a composed pipeline implies) -> split
+    assignment.  Every stage reuses the already-verified CTE pieces."""
+    b = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", _TEMP_SEED)
+    sb = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
+    return (
+        _REP_STATS_ORACLE
+        + f""",
+gated AS (
+  SELECT doc_id FROM stats
+  WHERE n_tokens >= 20 AND dup_token_frac <= 0.55
+    AND top_bigram_frac <= 0.12),
+gd AS (SELECT d.doc_id, d.lang FROM documents d JOIN gated USING (doc_id)
+       WHERE d.lang IS NOT NULL),
+lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM gd GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM lc),
+ql AS (
+  SELECT lang, n,
+         GREATEST(1, CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1048576) AS BIGINT)) AS q_fx
+  FROM lc CROSS JOIN tot),
+dd AS (SELECT CAST(sum(q_fx) AS BIGINT) AS d_fx FROM ql),
+thr AS (
+  SELECT lang,
+    CAST(floor(LEAST(1.0,
+        CAST(CAST(floor(0.5 * total) AS BIGINT) * q_fx AS DOUBLE)
+        / CAST(n * d_fx AS DOUBLE)) * 4294967296.0) AS BIGINT) AS t
+  FROM ql CROSS JOIN dd CROSS JOIN tot),
+sampled AS (
+  SELECT gd.doc_id, gd.lang FROM gd JOIN thr USING (lang)
+  WHERE {b} < thr.t)
+SELECT doc_id, lang, {_split_case_sql(sb)} AS split
+FROM sampled
+"""
+    )
+
+
+@q("curation_pipeline", _curation_pipeline_oracle())
+def _curation_pipeline(spark, sf_dir):
+    """Capstone composition: repetition gate -> temperature rebalance
+    (alpha=0.5, budget 50% — rates derived from the GATED corpus, not
+    the raw one) -> train/val/test split.  Each stage is individually
+    oracle-verified; this query proves the CHAIN composes hash-exactly
+    — the determinism contract a resumable multi-stage curation job
+    needs (rerunning any suffix of the chain reproduces the same
+    corpus)."""
+    from .operators.repetition import repetition_quality_gate
+    from .operators.sampling import split_assign, temperature_sample
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    gated = repetition_quality_gate(
+        docs, min_tokens=20, max_dup_token_frac=0.55,
+        max_top_bigram_frac=0.12,
+    ).select("doc_id")
+    kept = docs.join(gated, "doc_id", "left_semi").where(
+        F.col("lang").isNotNull()
+    )
+    sampled = temperature_sample(
+        kept.select("doc_id", "lang"), budget_frac=0.5, seed=_TEMP_SEED
+    )
+    return split_assign(sampled, _SPLIT_WEIGHTS, "doc_id", seed=_SAMPLE_SEED)
