@@ -226,8 +226,36 @@ def session_stats(
         F.count("*").alias("n_events"),
     ]
     if value_col is not None:
+        # Partition-order-invariant sum: fold the session's values
+        # serially in (ts, order_col) order instead of F.sum.  A
+        # parallel float SUM's value depends on partition/accumulation
+        # order, and floor(sum*1e6) of a money-like (2-decimal) column
+        # lands within ulps of a 1e-6 grid boundary on EVERY session —
+        # so the floored total was a per-session coin flip across
+        # engines/partitionings (the round-5 events_sessionize hash
+        # miss).  The serial in-order left fold is deterministic and
+        # exactly reproduces a single-threaded-per-window-partition
+        # engine (e.g. DuckDB) summing the window operator's sorted
+        # output.  Sessions are bounded by one user's burst, so the
+        # per-group array is small; the group key still ⊇ the window
+        # partition key — one exchange end-to-end.
+        ev = F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col(value_col).isNotNull(),
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(order_col).alias("o"),
+                        F.col(value_col).alias("v"),
+                    ),
+                )
+            )
+        )
+        folded = F.aggregate(ev, F.lit(0.0), lambda acc, x: acc + x["v"])
         agg.append(
-            (F.floor(F.sum(value_col) * 1e6) / 1e6).alias("sum_value")
+            F.when(F.size(ev) > 0, F.floor(folded * 1e6) / 1e6).alias(
+                "sum_value"
+            )
         )
     return (
         sessionize(events, user_col, ts_col, order_col, gap_sec)

@@ -65,6 +65,50 @@ def test_session_stats_rollup(spark):
     assert s12.n_events == 1 and s12.session_start == _ts(41, 0, 1)
 
 
+def test_session_sum_partitioning_invariant(spark):
+    """sum_value must be bit-identical under any input partitioning
+    and equal the serial in-order fold (the order a single-threaded
+    window+aggregate engine sums in).  2-decimal values put every
+    session total within ulps of the floor(x*1e6) grid, so a parallel
+    float SUM here is a coin flip per session — the round-5 driver
+    hash miss."""
+    import math
+
+    from name_match_latest_spark.operators.events import session_stats
+
+    vals = [round(0.01 + 0.07 * i % 9.43, 2) for i in range(240)]
+    rows = [
+        (i, _ts(i // 60, i % 60), 1 + i % 3, "e", vals[i])
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+
+    def collect(d):
+        return {
+            (r.user_id, r.session_seq): r.sum_value
+            for r in session_stats(d).collect()
+        }
+
+    a = collect(df.repartition(1))
+    b = collect(df.repartition(17, "event_id"))
+    c = collect(df.repartition(5, "value"))
+    assert a == b == c  # exact float equality, no rounding
+
+    # serial-fold truth in (ts, event_id) order
+    truth = {}
+    for eid, ts, uid, _, v in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        truth.setdefault(uid, []).append(v)
+    for uid, vs in truth.items():
+        acc = 0.0
+        for v in vs:
+            acc += v
+        assert a[(uid, 1)] == math.floor(acc * 1e6) / 1e6
+
+
 def test_single_exchange_plan(spark):
     """The rollup groups on (user_id, session_seq) ⊇ the window's
     hash-partitioning on user_id — Catalyst must NOT insert a second
