@@ -49,10 +49,18 @@ def sort_matches(df: DataFrame) -> DataFrame:
     return df.orderBy("t1_id", "t2_id")
 
 
+# normalize_text is NULL iff its input is NULL, so requiring a
+# normalized column is equivalent to requiring its raw source — and the
+# raw form is a pure scan predicate (PushedFilters), while a filter on
+# the UDF output splits the plan into TWO ArrowEvalPython nodes (the
+# pushed filter re-evaluates the UDF below itself; guide §4.4).
+_RAW_OF = {"first_n": "first_name", "middle_n": "middle_name", "last_n": "last_name"}
+
+
 def _require(df: DataFrame, *cols: str) -> DataFrame:
     cond = None
     for c in cols:
-        x = F.col(c).isNotNull()
+        x = F.col(_RAW_OF.get(c, c)).isNotNull()
         cond = x if cond is None else (cond & x)
     return df.filter(cond)
 

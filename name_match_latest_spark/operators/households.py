@@ -93,6 +93,15 @@ def household_aggregate(
     pairs = pairs.withColumn(
         "_hh_key", F.coalesce(F.col("t2_hh_id"), F.col("t2_id").cast("string"))
     ).filter(F.col("t1_uuid").isNotNull())
+    # NOTE (round-6 measurement): pairs feed BOTH the best-assignment
+    # window lineage and the uuid/hh re-attachment map, so the pair
+    # lineage executes twice.  A localCheckpoint here (even projected
+    # to the five consumed columns) measured ~2x SLOWER at bench scale
+    # than the double execution — the materialization job serializes
+    # what the scheduler otherwise overlaps, and Catalyst prunes each
+    # consumer's side to a narrow column set anyway.  Callers whose
+    # pair lineage is genuinely expensive (a fuzzy scoring cascade)
+    # should checkpoint/persist the pairs THEMSELVES before calling.
 
     if option == 5:
         assigned = best_assignment(

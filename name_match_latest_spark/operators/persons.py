@@ -31,6 +31,16 @@ from pyspark.sql.types import (
 
 from ..functions.udfs import dmeta_full_udf, dmeta_no_mid_udf, normalize_text_udf
 
+# Non-deterministic marking (the functions are pure — values are
+# unchanged): joins on UDF-derived key columns make Catalyst infer
+# isnotnull(key) filters, push them below the projection, and
+# re-evaluate every per-person UDF a second time (two ArrowEvalPython
+# nodes per side in the round-6 plan audit; guide §4.4).  Marking the
+# expressions non-deterministic pins each UDF to a single evaluation.
+_norm_udf = normalize_text_udf.asNondeterministic()
+_dmeta_full_udf = dmeta_full_udf.asNondeterministic()
+_dmeta_no_mid_udf = dmeta_no_mid_udf.asNondeterministic()
+
 __all__ = [
     "PERSON_SCHEMA",
     "simple_col",
@@ -139,9 +149,9 @@ def prepare_persons(df: DataFrame) -> DataFrame:
     birthdate (others pass through untouched).
     """
     first, mid, last = F.col("first_name"), F.col("middle_name"), F.col("last_name")
-    first_n = normalize_text_udf(first)
-    mid_n = normalize_text_udf(mid)
-    last_n = normalize_text_udf(last)
+    first_n = _norm_udf(first)
+    mid_n = _norm_udf(mid)
+    last_n = _norm_udf(last)
     simple_full = simple_col(_full_name_raw(first, mid, last))
     simple_full_no_mid = simple_col(_full_name_raw(first, None, last))
 
@@ -158,8 +168,8 @@ def prepare_persons(df: DataFrame) -> DataFrame:
             "simple_last": simple_col(F.coalesce(last, F.lit(""))),
             "simple_full": simple_full,
             "simple_full_no_mid": simple_full_no_mid,
-            "dmeta_full": dmeta_full_udf(first, mid, last),
-            "dmeta_no_mid": dmeta_no_mid_udf(first, last),
+            "dmeta_full": _dmeta_full_udf(first, mid, last),
+            "dmeta_no_mid": _dmeta_no_mid_udf(first, last),
             "birth_year": F.year("birthdate"),
             "bd_str": F.date_format("birthdate", "yyyy-MM-dd"),
         }

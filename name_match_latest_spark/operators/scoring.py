@@ -29,6 +29,15 @@ from ..functions.udfs import jaro_winkler_udf
 
 __all__ = ["sim_lev_pct_col", "score_pairs", "SCORE_COLS"]
 
+# Marked non-deterministic so the optimizer cannot duplicate the
+# evaluation: the match filter (case_label IS NOT NULL) references a
+# column computed from this UDF, and Catalyst's filter pushdown
+# otherwise materializes TWO ArrowEvalPython nodes per scoring tier —
+# every candidate pair crossed the Python boundary twice (plan audit,
+# round 6; spark_optimization_guide §4.4).  The function itself is
+# pure, so values are unchanged.
+_jw_udf = jaro_winkler_udf.asNondeterministic()
+
 SCORE_COLS = ["lev_pct", "jw_pct", "mp_pct", "confidence", "case_label"]
 
 
@@ -75,7 +84,7 @@ def score_pairs(pairs: DataFrame, no_middle: bool, explain: bool = False) -> Dat
         )
 
     jw = F.when(F.col("_direct"), F.lit(100.0)).otherwise(
-        jaro_winkler_udf(full1, full2) * 100.0
+        _jw_udf(full1, full2) * 100.0
     )
     staged = staged.withColumn("jw_pct", jw)
 

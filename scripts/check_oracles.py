@@ -2,7 +2,12 @@
 entry on Spark and its oracle_sql() on DuckDB, compare row count,
 column names and order-insensitive values.  Usage:
 
-    python scripts/check_oracles.py [sf_dir] [query ...]
+    python scripts/check_oracles.py [--hash] [sf_dir] [query ...]
+
+``--hash`` compares EXACT value strings (repr for floats — bitwise),
+matching the driver's hash gate instead of the default 1e-9 rounding;
+use it to catch float-determinism divergence the rounded compare
+masks (the round-5 events_sessionize class).
 """
 
 from __future__ import annotations
@@ -12,6 +17,10 @@ import time
 
 sys.path.insert(0, ".")
 
+EXACT = "--hash" in sys.argv
+if EXACT:
+    sys.argv.remove("--hash")
+
 
 def normalize_rows(cols, rows):
     out = []
@@ -20,7 +29,7 @@ def normalize_rows(cols, rows):
         for c in cols:
             v = row[c]
             if isinstance(v, float):
-                v = round(v, 9)
+                v = repr(v) if EXACT else round(v, 9)
             vals.append(str(v))
         out.append("|".join(vals))
     return sorted(out)
