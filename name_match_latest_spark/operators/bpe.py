@@ -135,9 +135,13 @@ def bpe_train(
         merges.append((step, w1, w2, c))
         pat = F.lit(SOT + w1 + EOT + SOT + w2 + EOT)
         rep = F.lit(SOT + w1 + JOIN + w2 + EOT)
+        # O(1) lineage per round; LAZY: the replace materializes as
+        # part of the NEXT round's pair-count job instead of its own —
+        # one job per round instead of two, and the final round's
+        # replace (whose output nothing reads) never runs at all
         corpus = corpus.withColumn(
             "s", F.replace(F.col("s"), pat, rep)
-        ).localCheckpoint(eager=True)  # O(1) lineage per round
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step int, w1 string, w2 string, pair_count long"
     )

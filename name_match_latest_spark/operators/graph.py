@@ -95,14 +95,19 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    outdeg = (
-        edges.groupBy("src")
-        .agg(F.count("*").alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # (id, outdeg) is ITERATION-INVARIANT: join it once here instead of
+    # re-joining outdeg against ranks inside every iteration (round-6:
+    # one join + one checkpointed frame fewer per iteration).  The
+    # rank state then carries outdeg along.
+    state = (
+        nodes.join(outdeg, nodes.id == outdeg.src, "left")
+        .select("id", "outdeg")
         .localCheckpoint(eager=False)
     )
     # node count: one bounded driver-side scalar — used as a literal
     # in every iteration AND as the int64 capacity guard
-    n_nodes = nodes.count()
+    n_nodes = state.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(None).cast("long"))
     if n_nodes * scale >= 1 << 62:
@@ -112,20 +117,27 @@ def pagerank(
             "every parallelism level). Pass a smaller scale, e.g. 2**20."
         )
 
-    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    ranks = state.withColumn("rank", F.lit(scale).cast("long"))
     teleport = ((damp_den - damp_num) * scale) // damp_den
 
     for _ in range(iterations):
-        r = ranks.join(outdeg, ranks.id == outdeg.src, "left").select(
-            ranks.id, "rank", "outdeg"
-        )
+        # dangling mass: ONE bounded 8-byte scalar per iteration,
+        # folded into the plan as a literal — Python's // equals SQL
+        # div for the non-negative int64 here, so the arithmetic stays
+        # bit-exact.  (The previous broadcast-crossJoin form moved the
+        # same scalar through the driver anyway — the broadcast build
+        # collects to the driver — but paid an extra plan subtree and
+        # broadcast-materialization job per iteration.)
+        dang = ranks.where(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0))
+        ).first()[0]
         # per-edge contribution: rank div outdeg (exact integer share)
         contrib = (
             # (a SHUFFLE_HASH hint here measured 43.0s vs 42.1s SMJ at
             # 20M edges local[32] — the edge-side sort is not the
             # bottleneck, so the default stays)
-            r.where(F.col("outdeg").isNotNull())
-            .join(edges, r.id == edges.src)
+            ranks.where(F.col("outdeg").isNotNull())
+            .join(edges, ranks.id == edges.src)
             .select(
                 F.col("dst").alias("id"),
                 F.expr("rank div outdeg").alias("c"),
@@ -133,29 +145,26 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        dang_df = r.where(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
-        )
         # split damping: num*(x div den) + (num*(x mod den)) div den ==
         # (num*x) div den exactly for x >= 0, but never multiplies the
         # full inflow — num * x would overflow int64 on hub nodes whose
         # inflow approaches the total mass (see docstring)
-        x = f"(coalesce(inflow, 0) + (dang div {n_nodes}))"
+        x = f"(coalesce(inflow, 0) + {int(dang) // n_nodes}L)"
         damped = (
             f"({damp_num} * ({x} div {damp_den})"
             f" + ({damp_num} * ({x} % {damp_den})) div {damp_den})"
         )
         ranks = (
-            nodes.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dang_df))
+            state.join(contrib, "id", "left")
             .select(
                 "id",
+                "outdeg",
                 (F.lit(teleport).cast("long") + F.expr(damped)).alias("rank"),
             )
             # truncate lineage so the plan stays O(1) per iteration
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
