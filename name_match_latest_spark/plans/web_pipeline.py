@@ -50,6 +50,20 @@ def _block_key(p: str = ""):
     )
 
 
+#: the columns the match+cluster path actually consumes.  Persisting
+#: (or checkpointing) the full prepare_persons output materializes ALL
+#: five per-person Python UDF columns; this projection keeps only
+#: dmeta_no_mid of them (sx_last_n / simple_* are JVM-derived), so the
+#: cache skips 3 of 5 Arrow UDF evaluations per mention AND shrinks
+#: every downstream shuffle row (guide §2.3: project before the
+#: exchange; §4: pass only the columns the function needs).
+MATCH_COLS = [
+    "id", "url", "mention_idx", "lang", "domain", "birthdate",
+    "sx_last_n", "simple_first", "simple_mid", "simple_last",
+    "simple_full_no_mid", "dmeta_no_mid",
+]
+
+
 def match_mentions(prepared: DataFrame) -> DataFrame:
     """Self-match within blocks: candidate pairs with id1 < id2,
     birthdate equality, full no-middle scoring cascade."""
@@ -69,7 +83,7 @@ def cluster_pages(pages: DataFrame) -> DataFrame:
     """
     from .caching import tracked_persist
 
-    prepared = tracked_persist(prepare_mentions(pages))
+    prepared = tracked_persist(prepare_mentions(pages).select(*MATCH_COLS))
     edges = match_mentions(prepared).select(
         F.col("t1_id").alias("src"), F.col("t2_id").alias("dst")
     )
@@ -99,8 +113,10 @@ def run_resumable(
     audit = AuditLog(os.path.join(out_dir, "audit"), sig)
     done = audit.committed_groups()
 
-    prepared = prepare_mentions(pages).withColumn(
-        "_grp", group_expr(_block_key(), n_groups)
+    prepared = (
+        prepare_mentions(pages)
+        .select(*MATCH_COLS)
+        .withColumn("_grp", group_expr(_block_key(), n_groups))
     )
     prepared = prepared.persist()
     try:
