@@ -85,7 +85,16 @@ _PERSONS_CTE = f"WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL})"
 
 
 def load_persons(spark: SparkSession, sf_dir: str):
-    """Prepared (t1, t2) person DataFrames derived from part."""
+    """Prepared (t1, t2) person DataFrames derived from part.
+
+    NOTE (round-6 measurement): the testdata parquet is single-row-
+    group, so this scan (and the per-person UDF projection above it)
+    runs as ONE task.  An unconditional repartition(defaultParallelism)
+    here was A/B-measured interleaved in one session: it HELPED only
+    the explode-heavy cascade L10 (-0.7s) and hurt algo1/algo3 (+0.5s)
+    — the per-person UDFs are memo-cached (~15k distinct names), so
+    the serial eval is cheaper than the extra exchange + 32-task
+    scheduling it buys.  Left as-is deliberately."""
     from .operators.persons import prepare_persons
 
     register_views(spark, sf_dir)

@@ -176,6 +176,10 @@ def token_jaccard_pairs(
         n_docs = docs.count()
         max_df = 0.5 if n_docs >= AUTO_GUARD_MIN_DOCS else None
     toks = shingles_df(docs, n=ngram) if ngram > 1 else tokens_df(docs)
+    # attach lang ONCE here (it rides along through the guard and the
+    # checkpoint) instead of joining it separately onto each side of
+    # the self-join below — one join instead of two
+    toks = toks.join(docs.select("doc_id", "lang"), "doc_id")
     if max_df is not None:
         if n_docs is None:
             n_docs = docs.count()
@@ -186,14 +190,15 @@ def token_jaccard_pairs(
             .select("tok")
         )
         toks = toks.join(F.broadcast(frequent), "tok", "left_anti")
+    # the (guarded) token table feeds the size dimension AND both
+    # sides of the self-join: without materialization the tokenizing
+    # mapInPandas pass and the documents scan re-execute 3-4x (the
+    # round-6 plan audit counted 12 parquet scans for one call).
+    # localCheckpoint, not persist: blocks are freed with the frame.
+    toks = toks.localCheckpoint(eager=False)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    lang = docs.select("doc_id", "lang")
-    t1 = toks.alias("a").join(lang.alias("la"), "doc_id").select(
-        F.col("doc_id").alias("d1"), F.col("tok"), F.col("lang")
-    )
-    t2 = toks.alias("b").join(lang.alias("lb"), "doc_id").select(
-        F.col("doc_id").alias("d2"), F.col("tok"), F.col("lang")
-    )
+    t1 = toks.select(F.col("doc_id").alias("d1"), "tok", "lang")
+    t2 = toks.select(F.col("doc_id").alias("d2"), "tok", "lang")
     inter = (
         t1.join(t2, on=["tok", "lang"])
         .filter(F.col("d1") < F.col("d2"))
