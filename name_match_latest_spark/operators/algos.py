@@ -166,9 +166,14 @@ def match_fuzzy(t1: DataFrame, t2: DataFrame, allow_swap: bool = False) -> DataF
     # (plan audit: 48 ArrowEvalPython nodes -> 8). The reference
     # precomputes CpuFuzzyCache once for the same reason (mod.rs:2793).
     # Tracked: the caller releases via plans.caching.unpersist_tracked.
+    # The persist is a pruning barrier, so drop the derived columns
+    # this algorithm never reads BEFORE it (normalize_text x3 and the
+    # no-middle metaphone never evaluate at all — only dmeta_full of
+    # the five per-person Python UDFs survives; guide §2.3/§4.1).
     from ..plans.caching import tracked_persist
 
-    t1, t2 = tracked_persist(t1), tracked_persist(t2)
+    drop = ["first_n", "middle_n", "last_n", "simple_full_no_mid", "dmeta_no_mid"]
+    t1, t2 = tracked_persist(t1.drop(*drop)), tracked_persist(t2.drop(*drop))
 
     t2_keys = t2.select(algo3_block_key().alias("_tk")).distinct()
 
@@ -262,8 +267,18 @@ def match_lev_weighted(t1: DataFrame, t2: DataFrame) -> DataFrame:
     (csv_export.rs:151-154)."""
     from ..plans.caching import tracked_persist
 
-    t1 = tracked_persist(_require(t1, "birthdate"))
-    t2 = tracked_persist(_require(t2, "birthdate"))
+    # Algo 7's keys and scoring are all JVM expressions over bd_str and
+    # simple_* — persisting the full prepared frame would materialize
+    # all five per-person Python UDF columns for nothing (the persist
+    # is a pruning barrier), so drop every derived column it does not
+    # read; zero ArrowEvalPython nodes remain in the plan.
+    drop = [
+        "first_n", "middle_n", "last_n", "simple_full",
+        "simple_full_no_mid", "dmeta_full", "dmeta_no_mid",
+        "first_init", "last_init", "sx_last_n", "birth_year",
+    ]
+    t1 = tracked_persist(_require(t1, "birthdate").drop(*drop))
+    t2 = tracked_persist(_require(t2, "birthdate").drop(*drop))
 
     def sx_keys(p):
         return [
