@@ -1969,8 +1969,14 @@ def _block_guard_stats(spark, sf_dir):
         & F.col("last_name").isNotNull()
         & F.col("birthdate").isNotNull()
     )
-    guarded = block_size_guard(t1, algo3_block_key(), limit=3)
-    return block_histogram(guarded, algo3_block_key()).select(
+    # guard + histogram both only read the KEY; materialize it once
+    # (the full person-prep lineage otherwise executes twice — once
+    # for the oversized-block aggregate, once for the probe side)
+    t1k = t1.select(algo3_block_key().alias("_bk")).localCheckpoint(
+        eager=False
+    )
+    guarded = block_size_guard(t1k, F.col("_bk"), limit=3)
+    return block_histogram(guarded, F.col("_bk")).select(
         F.col("block_key"), F.col("count").alias("n_rows")
     )
 

@@ -233,22 +233,24 @@ def bigram_collocations(
         .select("doc_id", "pos", F.lower(F.col("raw")).alias("term"))
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        toks.withColumn("term_b", F.lead("term").over(w))
-        .where(F.col("term_b").isNotNull())
-        .select(F.col("term").alias("term_a"), "term_b")
-        # every downstream agg re-reads the bigram stream: materialize
-        # once (total + marginals + pair counts = 4 consumers)
+    pairs = toks.withColumn("term_b", F.lead("term").over(w)).where(
+        F.col("term_b").isNotNull()
+    ).select(F.col("term").alias("term_a"), "term_b")
+    # aggregate the raw bigram stream ONCE, then derive the marginals
+    # and the total from the (much smaller, vocab²-bounded) count
+    # table — integer sums, so the values are identical to counting
+    # the raw stream four times, but the token explode + lead window
+    # execute once instead of four times (the checkpointed-raw-pairs
+    # form still re-read the materialized stream per aggregate)
+    bi = (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("_n"))
         .localCheckpoint(eager=False)
     )
-    n_ab = (
-        pairs.groupBy("term_a", "term_b")
-        .agg(F.count("*").alias("n_ab"))
-        .where(F.col("n_ab") >= min_count)
-    )
-    n_a = pairs.groupBy("term_a").agg(F.count("*").alias("n_a"))
-    n_b = pairs.groupBy("term_b").agg(F.count("*").alias("n_b"))
-    total = pairs.agg(F.count("*").alias("t_total"))
+    n_ab = bi.where(F.col("_n") >= min_count).withColumnRenamed("_n", "n_ab")
+    n_a = bi.groupBy("term_a").agg(F.sum("_n").alias("n_a"))
+    n_b = bi.groupBy("term_b").agg(F.sum("_n").alias("n_b"))
+    total = bi.agg(F.sum("_n").alias("t_total"))
     scored = (
         n_ab.join(n_a, "term_a")
         .join(n_b, "term_b")
