@@ -724,15 +724,25 @@ def _tok_ac_refine(blocks, ss, se, al):
             v = av[i]
             if v == 0:
                 run += 1
-            elif v > 1:
-                pend.append((1, v & 1, 1))
-            else:  # newly nonzero at this approximation level
-                while run > 15:
+                if run == 16:
+                    # Emit ZRL EAGERLY at the 16th zero-history
+                    # position: its correction bits are exactly the
+                    # ones buffered SO FAR.  (The previous deferred
+                    # form emitted ZRL only when the next new
+                    # coefficient was found and appended the full
+                    # buffer — including bits for history positions
+                    # BEYOND the 16 zeros the ZRL covers, which the
+                    # decoder does not read until a later symbol:
+                    # stream desync, found by hypothesis at round 6
+                    # on a 3x33 image.)
                     syms.add(0xF0)
                     toks.append((0, 0, 0xF0))
                     toks.extend(pend)
                     pend.clear()
-                    run -= 16
+                    run = 0
+            elif v > 1:
+                pend.append((1, v & 1, 1))
+            else:  # newly nonzero at this approximation level
                 sym = (run << 4) | 1
                 syms.add(sym)
                 toks.append((0, 0, sym))
