@@ -33,8 +33,21 @@ TABLES = [
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata tables as temp views.
+
+    Idempotent per (session, sf_dir): every ``spark.read.parquet``
+    call runs a driver-side schema/footer job, so re-registering ten
+    tables at EVERY query construction cost ~12 jobs per query
+    (round-6 profiling: 12 of algo1's 13 jobs were these reads).
+    Only metadata is memoized — the views stay lazy plans and every
+    execution re-scans the parquet files; switching ``sf_dir`` within
+    a session re-registers (the memo tracks the CURRENT dir, so
+    A->B->A ping-pong stays correct)."""
+    if getattr(spark, "_nm_views_dir", None) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark._nm_views_dir = sf_dir
 
 
 # ---------------------------------------------------------------------------
