@@ -111,6 +111,18 @@ def bpe_train(
                     cnts.append(n)
             yield pd.DataFrame({"w1": w1s, "w2": w2s, "cnt": cnts})
 
+    # Fan the RAW docs across the cores before the wrapped-state
+    # projection: single-row-group/single-file inputs scan as ONE
+    # task, which would serialize the (interpreted-HOF) state
+    # construction AND all n_merges Arrow pair-count passes on one
+    # core.  The repartition must sit BELOW the projection — above
+    # it, the exchange moves already-computed state and the
+    # construction still runs single-task.  Scale-adaptive: a corpus
+    # that already scans wide is left untouched, so no extra exchange
+    # appears at cluster scale.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     corpus = bpe_corpus_state(docs, id_col, text_col).localCheckpoint(
         eager=True
     )
