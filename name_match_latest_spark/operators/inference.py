@@ -92,6 +92,11 @@ def hashed_linear_score(
 
     def score(batches):
         wv = bc.value
+        # bound the OUTER dict too: a long-lived executor scoring with
+        # many (seed, n_buckets) models would otherwise grow one inner
+        # memo per model without limit (round-5 advice)
+        if (seed, n_buckets) not in _BUCKET_MEMO and len(_BUCKET_MEMO) >= 8:
+            _BUCKET_MEMO.clear()
         memo = _BUCKET_MEMO.setdefault((seed, n_buckets), {})
         for pdf in batches:
             rows = []
